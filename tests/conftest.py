@@ -1,0 +1,57 @@
+"""Test configuration.
+
+JAX tests run on a virtual 8-device CPU mesh so sharding logic is exercised
+without TPU hardware; kernel unit tests compare against the numpy oracle.
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+# Force CPU + 8 virtual devices BEFORE jax import (any test may import jax).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pytest  # noqa: E402
+
+REF_BIN = REPO / "refbin" / "xevdb_app"
+FIXDIR = REPO / "tests" / "fixtures"
+
+
+def have_ref() -> bool:
+    return REF_BIN.exists()
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    FIXDIR.mkdir(parents=True, exist_ok=True)
+    return FIXDIR
+
+
+def make_stream(path, w, h, n, qp, seed, gop, density=0.5):
+    """Generate (cached) a test stream via tools/evc_enc."""
+    if path.exists():
+        return path
+    sys.path.insert(0, str(REPO / "tools"))
+    import evc_enc
+    data = evc_enc.encode_stream(w, h, n, qp, seed, gop, density)
+    path.write_bytes(data)
+    return path
+
+
+def ref_decode(stream_path, out_path, out_bd=10):
+    """Decode with the reference binary; returns path to golden YUV."""
+    if out_path.exists():
+        return out_path
+    r = subprocess.run(
+        [str(REF_BIN), "-i", str(stream_path), "-o", str(out_path),
+         "--output-bit-depth", str(out_bd)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, f"reference decoder failed: {r.stdout}\n{r.stderr}"
+    return out_path

@@ -1,0 +1,402 @@
+"""Top-level EVC Baseline decoder.
+
+API mirrors the reference `xevd_create/decode/pull` surface
+(ref: inc/xevd.h:369-374, src_base/xevd.c:1786-2069) with a TPU-native
+internal architecture: a host entropy pass emits per-frame tensor batches
+(frame.py), a host derive pass resolves motion/availability (derive.py), and
+a pixel backend (numpy oracle here; JAX/Pallas in ops/) reconstructs frames.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import tables as T
+from .bitstream import BitReader
+from .derive import derive_frame
+from .dpb import Picture, PictureManager
+from .frame import EntropyDecoder
+from .ops import ref_numpy as RN
+from .syntax import (MalformedBitstream, parse_nalu_header, parse_pps,
+                     parse_sei, parse_sh, parse_sps)
+
+
+@dataclass
+class Stat:
+    nalu_type: int = -1
+    read: int = 0
+    fnum: int = -1
+    stype: int = 0
+    poc: int = 0
+    tid: int = 0
+    ret: int = 0
+    crc_ok: bool | None = None
+    refpic: tuple = ((), ())
+
+
+@dataclass
+class OutFrame:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    poc: int
+    bit_depth: int
+    chroma_format_idc: int
+    crop: tuple  # (left, right, top, bottom)
+    sei: list = field(default_factory=list)
+
+
+class Poc:
+    def __init__(self):
+        self.poc_val = 0
+        self.prev_poc_val = 0
+        self.prev_doc_offset = -1
+        self.prev_pic_max_poc_val = 0
+
+
+def poc_derivation(sps, tid, poc: Poc):
+    """Temporal-id based POC derivation (ref: src_base/xevd_util.c:429-466)."""
+    sub_gop_length = 1 << sps.log2_sub_gop_length
+    if tid == 0:
+        poc.poc_val = poc.prev_poc_val + sub_gop_length
+        poc.prev_doc_offset = 0
+        poc.prev_poc_val = poc.poc_val
+        return
+    doc_offset = (poc.prev_doc_offset + 1) % sub_gop_length
+    if doc_offset == 0:
+        poc.prev_poc_val += sub_gop_length
+        expected_tid = 0
+    else:
+        expected_tid = 1 + int(math.log2(doc_offset))
+    while tid != expected_tid:
+        doc_offset = (doc_offset + 1) % sub_gop_length
+        expected_tid = 0 if doc_offset == 0 else 1 + int(math.log2(doc_offset))
+    poc_offset = int(sub_gop_length * ((2.0 * doc_offset + 1) / (1 << tid) - 2))
+    poc.poc_val = poc.prev_poc_val + poc_offset
+    poc.prev_doc_offset = doc_offset
+
+
+class NumpyPixelBackend:
+    """Bit-exact host reconstruction using ops/ref_numpy (oracle backend)."""
+
+    name = "numpy"
+
+    def decode_frame(self, job, sps, refp):
+        fs = job.fs
+        bd = sps.bit_depth_luma_minus8 + 8
+        bd_c = sps.bit_depth_chroma_minus8 + 8
+        cfi = sps.chroma_format_idc
+        cw_s = 1 if cfi in (1, 2) else 0
+        ch_s = 1 if cfi == 1 else 0
+        rec_y = np.zeros((fs.h_pad, fs.w_pad), dtype=np.int16)
+        rec_u = np.zeros((fs.h_pad >> ch_s, fs.w_pad >> cw_s), dtype=np.int16)
+        rec_v = np.zeros_like(rec_u)
+        n = fs.num_cus()
+
+        # 1) residuals for every coded TU (batched-friendly; here per CU)
+        resid = {}
+        for i in range(n):
+            if fs.cu_pred_mode[i] == T.MODE_SKIP:
+                continue
+            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
+            cbf = fs.cu_cbf[i]
+            r = [None, None, None]
+            if cbf[0]:
+                blk = fs.coef_y[y:y + (1 << log2), x:x + (1 << log2)]
+                qp_y = fs.cu_qp[i] + 6 * (bd - 8)
+                r[0] = RN.itdq_block(blk, log2, log2, RN.qp_scale(qp_y), bd)
+            if cfi and (cbf[1] or cbf[2]):
+                lw, lh = log2 - cw_s, log2 - ch_s
+                xc, yc = x >> cw_s, y >> ch_s
+                if cbf[1]:
+                    blk = fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)]
+                    r[1] = RN.itdq_block(blk, lw, lh, RN.qp_scale(fs.cu_qp_u[i]), bd)
+                if cbf[2]:
+                    blk = fs.coef_v[yc:yc + (1 << lh), xc:xc + (1 << lw)]
+                    r[2] = RN.itdq_block(blk, lw, lh, RN.qp_scale(fs.cu_qp_v[i]), bd)
+            if any(v is not None for v in r):
+                resid[i] = r
+
+        # 2) inter CUs (MODE_SKIP / DIR / INTER): batched MC, no intra deps
+        for i in range(n):
+            if fs.cu_pred_mode[i] == T.MODE_INTRA:
+                continue
+            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
+            cuw = cuh = 1 << log2
+            refi = job.cu_refi[i]
+            mv = job.cu_mv[i]
+            preds = []
+            used_pocs = []
+            for lidx in range(2):
+                if refi[lidx] < 0:
+                    continue
+                ref = refp[refi[lidx]][lidx]
+                pic = ref.pic
+                mvx_c, mvy_c = RN.mv_clip(x, y, fs.w, fs.h, cuw, cuh, mv[lidx])
+                gx16 = ((x << 2) + mvx_c) << 2
+                gy16 = ((y << 2) + mvy_c) << 2
+                fx = (int(mv[lidx][0]) << 2) & 15
+                fy = (int(mv[lidx][1]) << 2) & 15
+                pad = pic.pad_l
+                py = RN.mc_luma(pic.y, gx16 + (pad << 4), gy16 + (pad << 4),
+                                fx, fy, cuw, cuh, bd, pad)
+                if cfi:
+                    fx_c = (int(mv[lidx][0]) << 2) & 31
+                    fy_c = (int(mv[lidx][1]) << 2) & 31
+                    pad_c = pic.pad_c
+                    pu = RN.mc_chroma(pic.u, gx16 + (pad_c << 5),
+                                      gy16 + (pad_c << 5), fx_c, fy_c,
+                                      cuw >> cw_s, cuh >> ch_s, bd_c)
+                    pv = RN.mc_chroma(pic.v, gx16 + (pad_c << 5),
+                                      gy16 + (pad_c << 5), fx_c, fy_c,
+                                      cuw >> cw_s, cuh >> ch_s, bd_c)
+                else:
+                    pu = pv = None
+                preds.append((py, pu, pv))
+                used_pocs.append((ref.poc, mvx_c, mvy_c))
+            if len(preds) == 2:
+                # identical-motion skip (ref: src_base/xevd_mc.c:512-519)
+                if used_pocs[0] == used_pocs[1]:
+                    preds = preds[:1]
+            if len(preds) == 2:
+                py = RN.bi_average(preds[0][0], preds[1][0])
+                if cfi:
+                    pu = RN.bi_average(preds[0][1], preds[1][1])
+                    pv = RN.bi_average(preds[0][2], preds[1][2])
+            else:
+                py, pu, pv = preds[0]
+            r = resid.get(i, (None, None, None))
+            cbf = fs.cu_cbf[i]
+            rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0], bool(cbf[0]), bd)
+            if cfi:
+                xc, yc = x >> cw_s, y >> ch_s
+                rec_u[yc:yc + (cuh >> ch_s), xc:xc + (cuw >> cw_s)] = \
+                    RN.recon(pu, r[1], bool(cbf[1]), bd)
+                rec_v[yc:yc + (cuh >> ch_s), xc:xc + (cuw >> cw_s)] = \
+                    RN.recon(pv, r[2], bool(cbf[2]), bd)
+
+        # 3) intra CUs in decode order (sequential neighbor dependency)
+        for i in range(n):
+            if fs.cu_pred_mode[i] != T.MODE_INTRA:
+                continue
+            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
+            cuw = cuh = 1 << log2
+            up_m = int(job.cu_nbr_up[i])
+            le_m = int(job.cu_nbr_left[i])
+            co = int(job.cu_nbr_corner[i])
+            ipm = fs.cu_ipm[i]
+            left, up, corner = RN.build_nbr(rec_y, x, y, cuw, cuh, up_m, le_m,
+                                            co, 4, bd)
+            py = RN.ipred_b(left, up, corner, ipm, cuw, cuh)
+            r = resid.get(i, (None, None, None))
+            cbf = fs.cu_cbf[i]
+            rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0], bool(cbf[0]), bd)
+            if cfi:
+                xc, yc = x >> cw_s, y >> ch_s
+                wc, hc = cuw >> cw_s, cuh >> ch_s
+                left, up, corner = RN.build_nbr(rec_u, xc, yc, wc, hc, up_m,
+                                                le_m, co, 4 >> cw_s, bd_c)
+                pu = RN.ipred_b(left, up, corner, ipm, wc, hc)
+                left, up, corner = RN.build_nbr(rec_v, xc, yc, wc, hc, up_m,
+                                                le_m, co, 4 >> cw_s, bd_c)
+                pv = RN.ipred_b(left, up, corner, ipm, wc, hc)
+                rec_u[yc:yc + hc, xc:xc + wc] = RN.recon(pu, r[1], bool(cbf[1]), bd)
+                rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(pv, r[2], bool(cbf[2]), bd)
+
+        # 4) deblocking
+        RN.deblock_frame((rec_y, rec_u, rec_v), job, sps)
+        return rec_y, rec_u, rec_v
+
+
+def pad_expand(plane: np.ndarray, w: int, h: int, pad: int) -> np.ndarray:
+    """Edge-replicate pad (ref: src_base/xevd_util.c:365-428)."""
+    return np.pad(plane[:h, :w], pad, mode="edge")
+
+
+class Decoder:
+    """EVC Baseline decoder with xevd-shaped API."""
+
+    def __init__(self, threads: int = 1, backend=None):
+        self.backend = backend or NumpyPixelBackend()
+        self.sps = None
+        self.pps = None
+        self.sh = None
+        self.dpm = None
+        self.poc = Poc()
+        self.pic_cnt = 0
+        self.last_intra_poc = 0
+        self.use_pic_signature = False
+        self.chroma_qp_tbl = None
+        self.entropy = None
+        self.last_pic = None
+        self.pending_sei = []
+        self.max_coding_delay = 0
+        self.crc_results = []
+
+    # -- API -----------------------------------------------------------
+    def decode(self, nalu: bytes) -> Stat:
+        bs = BitReader(nalu)
+        nal = parse_nalu_header(bs)
+        stat = Stat(nalu_type=nal.nal_unit_type)
+        nut = nal.nal_unit_type
+        if nut == T.NUT_SPS:
+            self.sps = parse_sps(bs)
+            self._sequence_init()
+        elif nut == T.NUT_PPS:
+            self.pps = parse_pps(bs, self.sps)
+        elif nut < T.NUT_SPS:
+            self._decode_slice(bs, nut, nal.nuh_temporal_id, stat)
+        elif nut == T.NUT_SEI:
+            np_planes = 3 if self.sps and self.sps.chroma_format_idc else 1
+            sig, others = parse_sei(bs, np_planes)
+            self.pending_sei.extend(others)
+            if sig is not None and self.last_pic is not None:
+                if self.use_pic_signature:
+                    stat.crc_ok = self._check_signature(sig)
+                    self.crc_results.append(stat.crc_ok)
+        elif nut == T.NUT_FD:
+            pass
+        else:
+            raise MalformedBitstream(f"wrong NALU type {nut}")
+        stat.read = len(nalu)
+        return stat
+
+    def pull(self):
+        """Returns (OutFrame | None, status) like xevd_pull
+        (ref: src_base/xevd.c:2042-2069)."""
+        if self.dpm is None:
+            return None, "empty"
+        pic, status = self.dpm.out_pic()
+        if pic is None:
+            return None, status
+        sps = self.sps
+        crop = (sps.picture_crop_left_offset * 2 if sps.picture_cropping_flag else 0,
+                sps.picture_crop_right_offset * 2 if sps.picture_cropping_flag else 0,
+                sps.picture_crop_top_offset * 2 if sps.picture_cropping_flag else 0,
+                sps.picture_crop_bottom_offset * 2 if sps.picture_cropping_flag else 0)
+        pad = pic.pad_l
+        pad_c = pic.pad_c
+        y = pic.y[pad:pad + pic.h, pad:pad + pic.w]
+        if sps.chroma_format_idc:
+            cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
+            ch_s = 1 if sps.chroma_format_idc == 1 else 0
+            u = pic.u[pad_c:pad_c + (pic.h >> ch_s), pad_c:pad_c + (pic.w >> cw_s)]
+            v = pic.v[pad_c:pad_c + (pic.h >> ch_s), pad_c:pad_c + (pic.w >> cw_s)]
+        else:
+            u = v = None
+        # The reference tags every decoded imgb as 10-bit regardless of the
+        # SPS bit depth (ref: src_base/xevd_util.c:276 — cs is always
+        # *_10LE), so the app's bit-depth conversion treats samples as
+        # 10-bit.  We mirror that quirk for output compatibility.
+        out = OutFrame(y=np.asarray(y), u=np.asarray(u), v=np.asarray(v),
+                       poc=pic.poc, bit_depth=10,
+                       chroma_format_idc=sps.chroma_format_idc, crop=crop,
+                       sei=pic.sei)
+        return out, "ok"
+
+    # -- internals -----------------------------------------------------
+    def _sequence_init(self):
+        sps = self.sps
+        from .tables import build_chroma_qp_tables
+        self.chroma_qp_tbl = build_chroma_qp_tables(
+            sps.bit_depth_chroma_minus8 + 8,
+            sps.chroma_qp_table if sps.chroma_qp_table.present else None,
+            base_profile=True)
+        self.dpm = PictureManager(max(sps.max_num_ref_pics, 1))
+        self.ref_pic_gap_length = 1 << sps.log2_ref_pic_gap_length
+        self.entropy = None  # rebuilt lazily (needs pps)
+        if sps.vui_parameters_present_flag and sps.bitstream_restriction_flag:
+            self.max_coding_delay = sps.num_reorder_pics
+
+    def _decode_slice(self, bs: BitReader, nut: int, tid: int, stat: Stat):
+        sps, pps = self.sps, self.pps
+        sh = parse_sh(bs, sps, pps, nut)
+        self.sh = sh
+
+        # POC derivation (ref: src_base/xevd.c:1842-1867)
+        if self.poc.poc_val > self.poc.prev_pic_max_poc_val:
+            self.poc.prev_pic_max_poc_val = self.poc.poc_val
+        if nut == T.NUT_IDR:
+            sh.poc_lsb = 0
+            self.poc.prev_doc_offset = -1
+            self.poc.prev_poc_val = 0
+            self.poc.poc_val = 0
+            slice_ref_flag = (tid == 0 or tid < sps.log2_sub_gop_length)
+        else:
+            slice_ref_flag = (tid == 0 or tid < sps.log2_sub_gop_length)
+            poc_derivation(sps, tid, self.poc)
+            sh.poc_lsb = self.poc.poc_val
+
+        if sh.slice_type == T.SLICE_I:
+            self.last_intra_poc = self.poc.poc_val
+
+        refp = self.dpm.refp_init(sh.slice_type, self.poc.poc_val, tid,
+                                  self.last_intra_poc)
+        num_refp = tuple(self.dpm.num_refp)
+
+        ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl)
+        fs = ent.decode_slice(bs, sh, num_refp)
+        job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
+                           self.chroma_qp_tbl)
+        rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
+
+        # build / recycle picture with padded planes
+        slot = self.dpm.get_empty_slot()
+        if slot >= 0:
+            self.dpm.remove_pic(slot)
+        pic = Picture(w=fs.w, h=fs.h)
+        pad, pad_c = pic.pad_l, pic.pad_c
+        cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
+        ch_s = 1 if sps.chroma_format_idc == 1 else 0
+        pic.y = pad_expand(rec_y, fs.w, fs.h, pad)
+        if sps.chroma_format_idc:
+            pic.u = pad_expand(rec_u, fs.w >> cw_s, fs.h >> ch_s, pad_c)
+            pic.v = pad_expand(rec_v, fs.w >> cw_s, fs.h >> ch_s, pad_c)
+        pic.map_mv = job.map_mv
+        pic.map_refi = job.map_refi
+        pic.sei = self.pending_sei
+        self.pending_sei = []
+
+        self.dpm.put_pic(pic, nut == T.NUT_IDR, self.poc.poc_val, tid, True,
+                         refp, slice_ref_flag, self.ref_pic_gap_length)
+        self.last_pic = pic
+
+        stat.fnum = self.pic_cnt
+        stat.stype = sh.slice_type
+        stat.poc = self.poc.poc_val
+        stat.tid = tid
+        stat.refpic = (
+            tuple(refp[i][0].poc for i in range(num_refp[0])),
+            tuple(refp[i][1].poc for i in range(num_refp[1])),
+        )
+        self.pic_cnt += 1
+
+    def _check_signature(self, sig) -> bool:
+        """MD5 per cropped plane (ref: src_base/xevd_util.c:985-1002)."""
+        import hashlib
+        pic = self.last_pic
+        sps = self.sps
+        pad, pad_c = pic.pad_l, pic.pad_c
+        cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
+        ch_s = 1 if sps.chroma_format_idc == 1 else 0
+        cl = sps.picture_crop_left_offset * 2 if sps.picture_cropping_flag else 0
+        cr = sps.picture_crop_right_offset * 2 if sps.picture_cropping_flag else 0
+        ct = sps.picture_crop_top_offset * 2 if sps.picture_cropping_flag else 0
+        cb = sps.picture_crop_bottom_offset * 2 if sps.picture_cropping_flag else 0
+        planes = []
+        y = pic.y[pad + ct:pad + pic.h - cb, pad + cl:pad + pic.w - cr]
+        planes.append(y)
+        if sps.chroma_format_idc:
+            u = pic.u[pad_c + (ct >> ch_s):pad_c + ((pic.h - cb) >> ch_s),
+                      pad_c + (cl >> cw_s):pad_c + ((pic.w - cr) >> cw_s)]
+            v = pic.v[pad_c + (ct >> ch_s):pad_c + ((pic.h - cb) >> ch_s),
+                      pad_c + (cl >> cw_s):pad_c + ((pic.w - cr) >> cw_s)]
+            planes += [u, v]
+        for plane, want in zip(planes, sig):
+            dig = hashlib.md5(np.ascontiguousarray(
+                plane.astype("<u2")).tobytes()).digest()
+            if dig[:len(want)] != want:
+                return False
+        return True

@@ -1,0 +1,310 @@
+"""Host derivation pass: motion reconstruction, intra availability masks and
+deblock boundary strengths.
+
+Runs after the entropy pass in decode order.  This replaces the scalar
+per-CU derivations interleaved with reconstruction in the reference
+(ref: src_base/xevd.c:477-565 motion, src_base/xevd_util.c:632-745
+availability, src_base/xevd_df.c:34-94 strengths) with a host pass that
+emits batched tensors for the device pipeline.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import tables as T
+from .frame import FrameSyntax
+
+AVAIL_UP = 1
+AVAIL_LE = 2
+AVAIL_UP_RI = 4
+AVAIL_UP_LE = 8
+
+
+@dataclass
+class FrameJob:
+    """Everything the pixel pipeline needs for one frame."""
+    fs: FrameSyntax
+    bit_depth: int
+    chroma_format_idc: int
+    # final per-CU motion (after MVP+mvd / skip / direct derivation)
+    cu_mv: np.ndarray = None        # int32 [N, 2, 2] quarter-pel
+    cu_refi: np.ndarray = None      # int32 [N, 2]
+    # per-SCU final motion field (stored with the picture for TMVP)
+    map_mv: np.ndarray = None       # int16 [h_scu, w_scu, 2, 2]
+    map_refi: np.ndarray = None     # int8 [h_scu, w_scu, 2]
+    # intra neighbor availability, per CU: bitmask over units
+    cu_nbr_up: np.ndarray = None    # int64 [N] bitmask (scuw+scuh units)
+    cu_nbr_left: np.ndarray = None  # int64 [N]
+    cu_nbr_corner: np.ndarray = None  # uint8 [N]
+    # deblock strengths (0 == no filtering)
+    db_hor_y: np.ndarray = None     # int32 [h_scu, w_scu]
+    db_hor_u: np.ndarray = None
+    db_hor_v: np.ndarray = None
+    db_ver_y: np.ndarray = None
+    db_ver_u: np.ndarray = None
+    db_ver_v: np.ndarray = None
+
+
+def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
+                 chroma_qp_tbl) -> FrameJob:
+    """Decode-order host pass (ref: recon-phase logic of src_base/xevd.c)."""
+    job = FrameJob(fs=fs, bit_depth=sps.bit_depth_luma_minus8 + 8,
+                   chroma_format_idc=sps.chroma_format_idc)
+    h_scu, w_scu = fs.h_scu, fs.w_scu
+    n = fs.num_cus()
+
+    map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int16)
+    map_refi = np.full((h_scu, w_scu, 2), T.REFI_INVALID, dtype=np.int8)
+    cod = np.zeros((h_scu, w_scu), dtype=np.uint8)
+
+    cu_mv = np.zeros((n, 2, 2), dtype=np.int32)
+    cu_refi = np.full((n, 2), T.REFI_INVALID, dtype=np.int32)
+    nbr_up = np.zeros(n, dtype=np.int64)
+    nbr_left = np.zeros(n, dtype=np.int64)
+    nbr_corner = np.zeros(n, dtype=np.uint8)
+
+    map_if = fs.map_if
+    constrained = pps.constrained_intra_pred_flag
+
+    for i in range(n):
+        x, y = fs.cu_x[i], fs.cu_y[i]
+        log2 = fs.cu_log2[i]
+        cuw = cuh = 1 << log2
+        x_scu, y_scu = x >> 2, y >> 2
+        scuw = cuw >> 2
+        scuh = cuh >> 2
+        pm = fs.cu_pred_mode[i]
+
+        if pm == T.MODE_INTRA:
+            # neighbor availability per 4-sample unit
+            # (ref: src_base/xevd_ipred.c:33-93, xevd_util.c:689-745)
+            n_units = scuw + scuh
+            up_mask = 0
+            if y_scu > 0:
+                for u in range(n_units):
+                    xs = x_scu + u
+                    if xs < w_scu and cod[y_scu - 1, xs] and (
+                            not constrained or map_if[y_scu - 1, xs]):
+                        up_mask |= 1 << u
+            left_mask = 0
+            if x_scu > 0:
+                for u in range(n_units):
+                    ysu = y_scu + u
+                    if ysu < h_scu and cod[ysu, x_scu - 1] and (
+                            not constrained or map_if[ysu, x_scu - 1]):
+                        left_mask |= 1 << u
+            corner = 0
+            if x_scu > 0 and y_scu > 0 and cod[y_scu - 1, x_scu - 1] and (
+                    not constrained or map_if[y_scu - 1, x_scu - 1]):
+                corner = 1
+            nbr_up[i] = up_mask
+            nbr_left[i] = left_mask
+            nbr_corner[i] = corner
+            # intra: zero motion, invalid refs (already defaults)
+            ys_, xs_ = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
+            map_refi[ys_, xs_] = T.REFI_INVALID
+            map_mv[ys_, xs_] = 0
+        else:
+            avail = _avail_inter(cod, map_if, x_scu, y_scu, scuw, scuh,
+                                 w_scu, h_scu)
+            refi_parsed = fs.cu_refi[i]
+            mvp_idx = fs.cu_mvp_idx[i]
+            inter_dir = fs.cu_inter_dir[i]
+            mv = np.zeros((2, 2), dtype=np.int64)
+            refi = [T.REFI_INVALID, T.REFI_INVALID]
+            scup = (y_scu, x_scu)
+
+            if pm == T.MODE_SKIP:
+                # (ref: src_base/xevd.c:507-538)
+                lists = (0, 1) if fs.slice_type == T.SLICE_B else (0,)
+                for lidx in lists:
+                    mvp = _mvp_candidates(map_mv, refp, scup, lidx, scuw,
+                                          w_scu, avail)
+                    mv[lidx] = mvp[mvp_idx[lidx]]
+                    refi[lidx] = 0
+                if fs.slice_type == T.SLICE_P:
+                    refi[1] = T.REFI_INVALID
+                    mv[1] = 0
+            elif inter_dir == T.PRED_DIR:
+                # temporal direct (ref: src_base/xevd.c:715-720,
+                # src_base/xevd_util.c:540-566)
+                scup_co = (y_scu + scuh - 1, x_scu + scuw - 1)
+                mv0, mv1 = _mv_dir(refp, poc_val, scup_co)
+                mv[0] = mv0
+                mv[1] = mv1
+                refi = [0, 0]
+            else:
+                for lidx in range(2):
+                    if ((inter_dir + 1) >> lidx) & 1:
+                        mvp = _mvp_candidates(map_mv, refp, scup, lidx, scuw,
+                                              w_scu, avail)
+                        mvd = fs.cu_mvd[i][lidx]
+                        mv[lidx, 0] = _s16(mvp[mvp_idx[lidx]][0] + mvd[0])
+                        mv[lidx, 1] = _s16(mvp[mvp_idx[lidx]][1] + mvd[1])
+                        refi[lidx] = refi_parsed[lidx]
+                    else:
+                        refi[lidx] = T.REFI_INVALID
+                        mv[lidx] = 0
+
+            cu_mv[i] = mv
+            cu_refi[i] = refi
+            ys_, xs_ = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
+            map_refi[ys_, xs_, 0] = refi[0]
+            map_refi[ys_, xs_, 1] = refi[1]
+            map_mv[ys_, xs_] = mv.astype(np.int16)
+
+        cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
+
+    job.cu_mv = cu_mv
+    job.cu_refi = cu_refi
+    job.map_mv = map_mv
+    job.map_refi = map_refi
+    job.cu_nbr_up = nbr_up
+    job.cu_nbr_left = nbr_left
+    job.cu_nbr_corner = nbr_corner
+
+    if sh.deblocking_filter_on:
+        _deblock_strengths(job, fs, sps, sh, chroma_qp_tbl)
+    else:
+        z = np.zeros((h_scu, w_scu), dtype=np.int32)
+        job.db_hor_y = job.db_hor_u = job.db_hor_v = z
+        job.db_ver_y = job.db_ver_u = job.db_ver_v = z
+    return job
+
+
+def _s16(v):
+    v &= 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
+
+
+def _avail_inter(cod, map_if, x_scu, y_scu, scuw, scuh, w_scu, h_scu):
+    """(ref: src_base/xevd_util.c:632-687)"""
+    avail = 0
+    if x_scu > 0 and not map_if[y_scu, x_scu - 1] and cod[y_scu, x_scu - 1]:
+        avail |= AVAIL_LE
+    if y_scu > 0:
+        if not map_if[y_scu - 1, x_scu]:
+            avail |= AVAIL_UP
+        if x_scu + scuw < w_scu and cod[y_scu - 1, x_scu + scuw] and \
+                not map_if[y_scu - 1, x_scu + scuw]:
+            avail |= AVAIL_UP_RI
+    return avail
+
+
+def _mvp_candidates(map_mv, refp, scup, lidx, scuw, w_scu, avail):
+    """4 baseline MVP candidates (ref: src_base/xevd_util.c:469-515)."""
+    y_scu, x_scu = scup
+    mvp = np.ones((T.MAX_NUM_MVP, 2), dtype=np.int64)
+    if avail & AVAIL_LE:
+        mvp[0] = map_mv[y_scu, x_scu - 1, lidx]
+    if avail & AVAIL_UP:
+        mvp[1] = map_mv[y_scu - 1, x_scu, lidx]
+    if avail & AVAIL_UP_RI:
+        mvp[2] = map_mv[y_scu - 1, x_scu + scuw, lidx]
+    ref0 = refp[0][lidx] if refp[0][lidx] is not None else None
+    if ref0 is not None:
+        mvp[3] = ref0.map_mv[y_scu, x_scu, 0]
+    else:
+        mvp[3] = 0
+    return mvp
+
+
+def _mv_dir(refp, poc, scup_co):
+    """Temporal direct MV scaling (ref: src_base/xevd_util.c:540-566)."""
+    r1 = refp[0][1]
+    y, x = scup_co
+    mvc = r1.map_mv[y, x, 0].astype(np.int64)
+    dpoc_co = r1.poc - r1.list_poc[0]
+    dpoc_l0 = poc - refp[0][0].poc
+    dpoc_l1 = r1.poc - poc
+    if dpoc_co == 0:
+        return np.zeros(2, np.int64), np.zeros(2, np.int64)
+    mv0 = _cdiv_trunc(dpoc_l0 * mvc, dpoc_co)
+    mv1 = _cdiv_trunc(-dpoc_l1 * mvc, dpoc_co)
+    return mv0, mv1
+
+
+def _cdiv_trunc(a, b):
+    """C-style truncating division, elementwise."""
+    q = np.abs(a) // abs(b)
+    return np.where((a < 0) != (b < 0), -q, q)
+
+
+def _deblock_strengths(job: FrameJob, fs: FrameSyntax, sps, sh, chroma_qp_tbl):
+    """Vectorized boundary-strength derivation
+    (ref: src_base/xevd_df.c:34-94,291-545)."""
+    h_scu, w_scu = fs.h_scu, fs.w_scu
+    bd_l = sps.bit_depth_luma_minus8
+    bd_c = sps.bit_depth_chroma_minus8
+    map_if = fs.map_if.astype(bool)
+    cbfl = fs.map_cbfl.astype(bool)
+    refi = job.map_refi.astype(np.int32)
+    mv = job.map_mv.astype(np.int32)
+
+    def table_idx(cur, nb):
+        """idx per SCU pair; cur/nb are index tuples into the SCU maps."""
+        if_any = map_if[cur] | map_if[nb]
+        cbf_any = cbfl[cur] | cbfl[nb]
+        r0, r1 = refi[cur], refi[nb]  # [...,2]
+        m0 = mv[cur].copy()
+        m1 = mv[nb].copy()
+        m0[r0 < 0] = 0
+        m1[r1 < 0] = 0
+        same_order = (r0[..., 0] == r1[..., 0]) & (r0[..., 1] == r1[..., 1])
+        cross_order = (r0[..., 0] == r1[..., 1]) & (r0[..., 1] == r1[..., 0])
+        big_same = (np.abs(m0 - m1).reshape(m0.shape[0], -1) >= 4).any(-1)
+        m1x = m1[..., ::-1, :]
+        big_cross = (np.abs(m0 - m1x).reshape(m0.shape[0], -1) >= 4).any(-1)
+        idx = np.where(same_order, np.where(big_same, 2, 3),
+                       np.where(cross_order, np.where(big_cross, 2, 3), 2))
+        idx = np.where(cbf_any, 1, idx)
+        idx = np.where(if_any, 0, idx)
+        return idx
+
+    qp_off = 6 * bd_c
+    qp_tab_u = chroma_qp_tbl[0]
+    qp_tab_v = chroma_qp_tbl[1]
+
+    def strengths(idx, qp):
+        st_y = T.DF_ST[idx, qp] << bd_l
+        qp_u = np.clip(qp + sh.qp_u_offset, -qp_off, 57)
+        qp_v = np.clip(qp + sh.qp_v_offset, -qp_off, 57)
+        st_u = T.DF_ST[idx, qp_tab_u[qp_u + qp_off]] << bd_c
+        st_v = T.DF_ST[idx, qp_tab_v[qp_v + qp_off]] << bd_c
+        return st_y, st_u, st_v
+
+    # horizontal edges (top edge of CU): pair (cur=(y,x), up=(y-1,x))
+    hy = np.zeros((h_scu, w_scu), np.int32)
+    hu = np.zeros_like(hy)
+    hv = np.zeros_like(hy)
+    ys, xs = np.nonzero(fs.edge_hor)
+    sel = ys > 0
+    ys, xs = ys[sel], xs[sel]
+    if len(ys):
+        idx = table_idx((ys, xs), (ys - 1, xs))
+        qp = fs.map_qp[ys, xs]
+        st_y, st_u, st_v = strengths(idx, qp)
+        hy[ys, xs] = st_y
+        hu[ys, xs] = st_u
+        hv[ys, xs] = st_v
+
+    # vertical edges (left edge of CU): pair (cur=(y,x), left=(y,x-1));
+    # parameters come from the right-side block in both driver branches
+    vy = np.zeros((h_scu, w_scu), np.int32)
+    vu = np.zeros_like(vy)
+    vv = np.zeros_like(vy)
+    ys, xs = np.nonzero(fs.edge_ver)
+    sel = xs > 0
+    ys, xs = ys[sel], xs[sel]
+    if len(ys):
+        idx = table_idx((ys, xs), (ys, xs - 1))
+        qp = fs.map_qp[ys, xs]
+        st_y, st_u, st_v = strengths(idx, qp)
+        vy[ys, xs] = st_y
+        vu[ys, xs] = st_u
+        vv[ys, xs] = st_v
+
+    job.db_hor_y, job.db_hor_u, job.db_hor_v = hy, hu, hv
+    job.db_ver_y, job.db_ver_u, job.db_ver_v = vy, vu, vv

@@ -1,0 +1,424 @@
+"""Host-side entropy pass: parse one Baseline slice into a FrameSyntax batch.
+
+This is the TPU-native equivalent of the reference's sequential entropy pass
+(ref: src_base/xevd.c:918-1017 tree recursion, src_base/xevd_eco.c:1048-1176
+CU syntax): instead of handing each CU to a scalar recon routine, the parse
+emits whole-frame coefficient planes plus flat per-CU arrays — the
+host→device tensor payload that the batched JAX/Pallas pixel pipeline
+consumes (the analog of XEVD_CU_DATA, ref: src_base/xevd_def.h:1145-1190).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import tables as T
+from .bitstream import BitReader
+from .sbac import Sbac
+from .syntax import MalformedBitstream, Pps, SliceHeader, Sps
+
+NO_SPLIT = 0
+SPLIT_QUAD = 5
+
+
+@dataclass
+class FrameSyntax:
+    """Flat per-frame syntax tensors (decode order preserved in cu_* arrays)."""
+    w: int
+    h: int
+    w_pad: int
+    h_pad: int
+    w_scu: int
+    h_scu: int
+    slice_type: int
+    sh: SliceHeader = None
+    # full-frame coefficient planes (padded to CTU grid)
+    coef_y: np.ndarray = None    # int16 [h_pad, w_pad]
+    coef_u: np.ndarray = None    # int16 [h_pad/2, w_pad/2]
+    coef_v: np.ndarray = None
+    # per-CU arrays, decode order
+    cu_x: list = field(default_factory=list)
+    cu_y: list = field(default_factory=list)
+    cu_log2: list = field(default_factory=list)
+    cu_pred_mode: list = field(default_factory=list)
+    cu_ipm: list = field(default_factory=list)
+    cu_qp: list = field(default_factory=list)
+    cu_qp_u: list = field(default_factory=list)
+    cu_qp_v: list = field(default_factory=list)
+    cu_cbf: list = field(default_factory=list)       # [3] per cu
+    cu_refi: list = field(default_factory=list)      # parsed refi [2]
+    cu_mvp_idx: list = field(default_factory=list)   # [2]
+    cu_mvd: list = field(default_factory=list)       # [2][2]
+    cu_inter_dir: list = field(default_factory=list)
+    # per-SCU maps (filled during entropy; motion pass updates mv/refi)
+    map_if: np.ndarray = None     # intra flag u8 [h_scu, w_scu]
+    map_qp: np.ndarray = None
+    map_cbfl: np.ndarray = None
+    map_ipm: np.ndarray = None
+    map_skip: np.ndarray = None
+    # CU-edge maps for deblocking (set at CU top/left boundaries)
+    edge_hor: np.ndarray = None   # u8: SCU's TOP edge is a CU boundary
+    edge_ver: np.ndarray = None   # u8: SCU's LEFT edge is a CU boundary
+    # intra neighbor availability flags per CU (AVAIL_* bits), entropy-time LR
+    cu_avail: list = field(default_factory=list)
+
+    def num_cus(self) -> int:
+        return len(self.cu_x)
+
+
+# avail bits (subset used by baseline)
+AVAIL_UP = 1 << 0
+AVAIL_LE = 1 << 1
+AVAIL_RI = 1 << 2
+AVAIL_UP_LE = 1 << 3
+AVAIL_UP_RI = 1 << 4
+AVAIL_LO_LE = 1 << 5
+AVAIL_LO_RI = 1 << 6
+AVAIL_RI_UP = 1 << 7
+
+
+class EntropyDecoder:
+    """Sequential SBAC + syntax parse of one slice (single tile, Baseline)."""
+
+    def __init__(self, sps: Sps, pps: Pps, chroma_qp_tbl: np.ndarray):
+        self.sps = sps
+        self.pps = pps
+        self.chroma_qp_tbl = chroma_qp_tbl
+        self.w = sps.pic_width_in_luma_samples
+        self.h = sps.pic_height_in_luma_samples
+        self.ctu = T.CTU_SIZE_B
+        self.log2_ctu = T.CTU_LOG2_B
+        self.w_lcu = (self.w + self.ctu - 1) // self.ctu
+        self.h_lcu = (self.h + self.ctu - 1) // self.ctu
+        self.w_scu = (self.w + 3) >> 2
+        self.h_scu = (self.h + 3) >> 2
+
+    def decode_slice(self, bs: BitReader, sh: SliceHeader,
+                     num_refp: tuple) -> FrameSyntax:
+        sps = self.sps
+        w_pad = self.w_lcu * self.ctu
+        h_pad = self.h_lcu * self.ctu
+        fs = FrameSyntax(
+            w=self.w, h=self.h, w_pad=w_pad, h_pad=h_pad,
+            w_scu=self.w_scu, h_scu=self.h_scu,
+            slice_type=sh.slice_type, sh=sh)
+        fs.coef_y = np.zeros((h_pad, w_pad), dtype=np.int16)
+        cw_shift = 1 if sps.chroma_format_idc in (1, 2) else 0
+        ch_shift = 1 if sps.chroma_format_idc == 1 else 0
+        self.cw_shift, self.ch_shift = cw_shift, ch_shift
+        if sps.chroma_format_idc:
+            fs.coef_u = np.zeros((h_pad >> ch_shift, w_pad >> cw_shift), dtype=np.int16)
+            fs.coef_v = np.zeros_like(fs.coef_u)
+        fs.map_if = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.map_qp = np.zeros((self.h_scu, self.w_scu), dtype=np.int32)
+        fs.map_cbfl = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.map_ipm = np.full((self.h_scu, self.w_scu), -1, dtype=np.int8)
+        fs.map_skip = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.edge_hor = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.edge_ver = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        self.cod_eco = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+
+        self.fs = fs
+        self.sh = sh
+        self.num_refp = num_refp
+        self.qp_prev_eco = sh.qp
+
+        sbac = Sbac(bs)
+        sbac.reset(bs)
+        self.sbac = sbac
+        self.bs = bs
+
+        n_ctu = self.w_lcu * self.h_lcu
+        for ctu_idx in range(n_ctu):
+            x0 = (ctu_idx % self.w_lcu) << self.log2_ctu
+            y0 = (ctu_idx // self.w_lcu) << self.log2_ctu
+            self._decode_tree(x0, y0, self.log2_ctu, self.log2_ctu)
+        if sbac.decode_bin_trm() != 1:
+            raise MalformedBitstream("missing tile end flag")
+        # cabac zero words: remaining bytes must be zero 16-bit words
+        while not self.bs.at_end():
+            if self.bs.read(16) not in (0, 0xFFFFFFFF):
+                raise MalformedBitstream("nonzero cabac_zero_word")
+        return fs
+
+    # -- CU tree --------------------------------------------------------
+    def _decode_tree(self, x0, y0, log2_cuw, log2_cuh):
+        """QT recursion (ref: src_base/xevd.c:918-1017)."""
+        cuw = 1 << log2_cuw
+        cuh = 1 << log2_cuh
+        if cuw > T.MIN_CU_SIZE or cuh > T.MIN_CU_SIZE:
+            if x0 + cuw <= self.w and y0 + cuh <= self.h:
+                split = self._read_split(cuw, cuh)
+            else:
+                split = self._read_split(cuw, cuh)
+        else:
+            split = NO_SPLIT
+        if split != NO_SPLIT:
+            half = cuw >> 1
+            for (xs, ys) in ((x0, y0), (x0 + half, y0), (x0, y0 + half),
+                             (x0 + half, y0 + half)):
+                if xs < self.w and ys < self.h:
+                    self._decode_tree(xs, ys, log2_cuw - 1, log2_cuh - 1)
+        else:
+            self._decode_cu(x0, y0, log2_cuw, log2_cuh)
+
+    def _read_split(self, cuw, cuh):
+        """split_cu_flag (ref: src_base/xevd_eco.c:985-998)."""
+        if cuw < 8 and cuh < 8:
+            return NO_SPLIT
+        bin_ = self.sbac.decode_bin(self.sbac.ctx.split_cu_flag, 0)
+        return SPLIT_QUAD if bin_ else NO_SPLIT
+
+    # -- CU syntax ------------------------------------------------------
+    def _decode_cu(self, x, y, log2_cuw, log2_cuh):
+        """One CU (ref: src_base/xevd_eco.c:1048-1176)."""
+        sbac = self.sbac
+        ctx = sbac.ctx
+        sh = self.sh
+        sps = self.sps
+        fs = self.fs
+        cuw = 1 << log2_cuw
+        cuh = 1 << log2_cuh
+        x_scu, y_scu = x >> 2, y >> 2
+        scuw, scuh = cuw >> 2, cuh >> 2
+
+        pred_mode = T.MODE_INTRA
+        mvp_idx = [0, 0]
+        mvd = [[0, 0], [0, 0]]
+        refi = [T.REFI_INVALID, T.REFI_INVALID]
+        inter_dir = 0
+        ipm = 0
+        cbf = [0, 0, 0]
+
+        if sh.slice_type != T.SLICE_I:
+            if sbac.decode_bin(ctx.skip_flag, 0):
+                pred_mode = T.MODE_SKIP
+
+        if pred_mode == T.MODE_SKIP:
+            mvp_idx[0] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
+            if sh.slice_type == T.SLICE_B:
+                mvp_idx[1] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
+            qp = self.qp_prev_eco if self.pps.cu_qp_delta_enabled_flag else sh.qp
+        else:
+            # pred mode flag
+            if sh.slice_type != T.SLICE_I:
+                pred_mode = (T.MODE_INTRA
+                             if sbac.decode_bin(ctx.pred_mode, 0)
+                             else T.MODE_INTER)
+            else:
+                pred_mode = T.MODE_INTRA
+
+            if pred_mode == T.MODE_INTER:
+                if sh.slice_type == T.SLICE_B:
+                    if sbac.decode_bin(ctx.direct_mode_flag, 0):
+                        inter_dir = T.PRED_DIR
+                if inter_dir != T.PRED_DIR:
+                    if sh.slice_type == T.SLICE_B:
+                        inter_dir = self._read_inter_pred_idc()
+                    else:
+                        inter_dir = T.PRED_L0
+                    for lidx in range(2):
+                        if ((inter_dir + 1) >> lidx) & 1:
+                            refi[lidx] = self._read_refi(self.num_refp[lidx])
+                            mvp_idx[lidx] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
+                            mvd[lidx] = self._read_mvd()
+            else:
+                ipm = self._read_intra_dir(x_scu, y_scu)
+
+            qp, cbf = self._decode_coef(x, y, log2_cuw, log2_cuh, pred_mode,
+                                        inter_dir)
+
+        qp_u, qp_v = self._chroma_qps(qp)
+
+        # record CU
+        fs.cu_x.append(x)
+        fs.cu_y.append(y)
+        fs.cu_log2.append(log2_cuw)
+        fs.cu_pred_mode.append(pred_mode)
+        fs.cu_ipm.append(ipm)
+        fs.cu_qp.append(qp)
+        fs.cu_qp_u.append(qp_u)
+        fs.cu_qp_v.append(qp_v)
+        fs.cu_cbf.append(cbf)
+        fs.cu_refi.append(refi)
+        fs.cu_mvp_idx.append(mvp_idx)
+        fs.cu_mvd.append(mvd)
+        fs.cu_inter_dir.append(inter_dir)
+        fs.cu_avail.append(0)
+
+        # per-SCU map updates (entropy-time, ref: src_base/xevd_util.c:1574)
+        ys, xs = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
+        is_intra = 1 if pred_mode == T.MODE_INTRA else 0
+        fs.map_if[ys, xs] = is_intra
+        fs.map_qp[ys, xs] = qp
+        fs.map_cbfl[ys, xs] = 1 if cbf[0] else 0
+        fs.map_skip[ys, xs] = 1 if pred_mode == T.MODE_SKIP else 0
+        if is_intra:
+            fs.map_ipm[ys, xs] = ipm
+        self.cod_eco[ys, xs] = 1
+        # CU-boundary edge maps for deblocking
+        fs.edge_hor[y_scu, xs] = 1
+        fs.edge_ver[ys, x_scu] = 1
+
+    def _read_inter_pred_idc(self):
+        """(ref: src_base/xevd_eco.c:955-983)"""
+        sbac = self.sbac
+        tmp = sbac.decode_bin(sbac.ctx.inter_dir, 0)
+        if not tmp:
+            return T.PRED_BI
+        tmp = sbac.decode_bin(sbac.ctx.inter_dir, 1)
+        return T.PRED_L1 if tmp else T.PRED_L0
+
+    def _read_refi(self, num_refp):
+        """(ref: src_base/xevd_eco.c:435-460)"""
+        sbac = self.sbac
+        ref_num = 0
+        if num_refp > 1:
+            if sbac.decode_bin(sbac.ctx.refi, 0):
+                ref_num += 1
+                if num_refp > 2 and sbac.decode_bin(sbac.ctx.refi, 1):
+                    ref_num += 1
+                    while ref_num < num_refp - 1:
+                        if not sbac.decode_bin_ep():
+                            break
+                        ref_num += 1
+        return ref_num
+
+    def _read_mvd(self):
+        """(ref: src_base/xevd_eco.c:522-599)"""
+        out = [0, 0]
+        for d in range(2):
+            v = self._read_abs_mvd()
+            if v:
+                if self.sbac.decode_bin_ep():
+                    v = -v
+            out[d] = v
+        return out
+
+    def _read_abs_mvd(self):
+        sbac = self.sbac
+        code = sbac.decode_bin(sbac.ctx.mvd, 0)
+        if code:
+            return 0
+        length = 0
+        while not (code & 1):
+            if length == 0:
+                code = sbac.decode_bin(sbac.ctx.mvd, 0)
+            else:
+                code = sbac.decode_bin_ep()
+            length += 1
+        val = (1 << length) - 1
+        while length:
+            length -= 1
+            code = sbac.decode_bin_ep()
+            val += code << length
+        return val
+
+    def _read_intra_dir(self, x_scu, y_scu):
+        """MPM-permuted intra mode (ref: src_base/xevd_eco.c:816-840,
+        src_base/xevd_ipred.c:678-693)."""
+        fs = self.fs
+        ipm_l = 0
+        ipm_u = 0
+        if x_scu > 0 and fs.map_if[y_scu, x_scu - 1] and self.cod_eco[y_scu, x_scu - 1]:
+            ipm_l = int(fs.map_ipm[y_scu, x_scu - 1]) + 1
+        if y_scu > 0 and fs.map_if[y_scu - 1, x_scu] and self.cod_eco[y_scu - 1, x_scu]:
+            ipm_u = int(fs.map_ipm[y_scu - 1, x_scu]) + 1
+        mpm = T.MPM_B[ipm_l][ipm_u]
+        t0 = self.sbac.read_unary_sym(self.sbac.ctx.intra_dir, 0, 2)
+        ipm = 0
+        for i in range(T.IPD_CNT_B):
+            if t0 == mpm[i]:
+                ipm = i
+        return ipm
+
+    # -- coefficients ---------------------------------------------------
+    def _decode_coef(self, x, y, log2_cuw, log2_cuh, pred_mode, inter_dir):
+        """cbf + dqp + run/level (ref: src_base/xevd_eco.c:256-352,601-741)."""
+        sbac = self.sbac
+        ctx = sbac.ctx
+        sps = self.sps
+        b_no_cbf = inter_dir == T.PRED_DIR
+        cbf = [0, 0, 0]
+
+        if pred_mode != T.MODE_INTRA:
+            if not b_no_cbf:
+                if sbac.decode_bin(ctx.cbf_all, 0) == 0:
+                    qp = (self.qp_prev_eco
+                          if self.pps.cu_qp_delta_enabled_flag else self.qp_prev_eco)
+                    return self.qp_prev_eco, [0, 0, 0]
+            if sps.chroma_format_idc != 0:
+                cbf[1] = sbac.decode_bin(ctx.cbf_cb, 0)
+                cbf[2] = sbac.decode_bin(ctx.cbf_cr, 0)
+            if cbf[1] + cbf[2] == 0:
+                cbf[0] = 1
+            else:
+                cbf[0] = sbac.decode_bin(ctx.cbf_luma, 0)
+        else:
+            if sps.chroma_format_idc != 0:
+                cbf[1] = sbac.decode_bin(ctx.cbf_cb, 0)
+                cbf[2] = sbac.decode_bin(ctx.cbf_cr, 0)
+            cbf[0] = sbac.decode_bin(ctx.cbf_luma, 0)
+
+        if self.pps.cu_qp_delta_enabled_flag and (cbf[0] or cbf[1] or cbf[2]):
+            dqp = self._read_dqp()
+            qp = (self.qp_prev_eco + dqp + 52) % 52
+            self.qp_prev_eco = qp
+        else:
+            qp = self.qp_prev_eco
+
+        if cbf[0]:
+            blk = self._read_coef_block(log2_cuw, log2_cuh, 0)
+            self.fs.coef_y[y:y + (1 << log2_cuh), x:x + (1 << log2_cuw)] = blk
+        if cbf[1]:
+            lw, lh = log2_cuw - self.cw_shift, log2_cuh - self.ch_shift
+            blk = self._read_coef_block(lw, lh, 1)
+            xc, yc = x >> self.cw_shift, y >> self.ch_shift
+            self.fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
+        if cbf[2]:
+            lw, lh = log2_cuw - self.cw_shift, log2_cuh - self.ch_shift
+            blk = self._read_coef_block(lw, lh, 1)
+            xc, yc = x >> self.cw_shift, y >> self.ch_shift
+            self.fs.coef_v[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
+        return qp, cbf
+
+    def _read_dqp(self):
+        sbac = self.sbac
+        dqp = sbac.read_unary_sym(sbac.ctx.delta_qp, 0, 1)
+        if dqp > 0 and sbac.decode_bin_ep():
+            dqp = -dqp
+        return dqp
+
+    def _read_coef_block(self, log2_w, log2_h, ch_type) -> np.ndarray:
+        """Run/level zigzag (ref: src_base/xevd_eco.c:354-411)."""
+        sbac = self.sbac
+        ctx = sbac.ctx
+        scanp = T.SCAN_TBL[(log2_w, log2_h)]
+        num_coeff = 1 << (log2_w + log2_h)
+        coef = np.zeros(num_coeff, dtype=np.int16)
+        t0 = 0 if ch_type == 0 else 2
+        ctx_last = 0 if ch_type == 0 else 1
+        pos = 0
+        while True:
+            run = sbac.read_unary_sym(ctx.run, t0, 2)
+            pos += run
+            level = sbac.read_unary_sym(ctx.level, t0, 2) + 1
+            sign = sbac.decode_bin_ep()
+            coef[scanp[pos]] = -level if sign else level
+            if pos >= num_coeff - 1:
+                break
+            pos += 1
+            if sbac.decode_bin(ctx.last, ctx_last):
+                break
+        return coef.reshape(1 << log2_h, 1 << log2_w)
+
+    def _chroma_qps(self, qp):
+        sps = self.sps
+        bdc_m8 = sps.bit_depth_chroma_minus8
+        off = 6 * bdc_m8
+        qp_i_cb = np.clip(qp + self.sh.qp_u_offset, -off, 57)
+        qp_i_cr = np.clip(qp + self.sh.qp_v_offset, -off, 57)
+        qp_u = int(self.chroma_qp_tbl[0][qp_i_cb + off]) + off
+        qp_v = int(self.chroma_qp_tbl[1][qp_i_cr + off]) + off
+        return qp_u, qp_v

@@ -1,0 +1,304 @@
+"""Constant tables of MPEG-5 EVC (ISO/IEC 23094-1), Baseline profile.
+
+These are normative constants of the EVC specification; the authoritative
+values were cross-checked against the reference decoder's tables
+(ref: src_base/xevd_tbl.c:89-352, src_base/xevd_mc.c:80-134).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Geometry constants (ref: src_base/xevd_def.h:188-211)
+# ---------------------------------------------------------------------------
+MAX_CU_LOG2 = 7
+MIN_CU_LOG2 = 2
+MAX_CU_SIZE = 1 << MAX_CU_LOG2
+MIN_CU_SIZE = 1 << MIN_CU_LOG2
+MAX_TR_LOG2 = 6
+MAX_TR_SIZE = 1 << MAX_TR_LOG2
+PIC_PAD_SIZE_L = MAX_CU_SIZE + 16      # 144
+PIC_PAD_SIZE_C = PIC_PAD_SIZE_L >> 1
+
+# Baseline CTU geometry (ref: src_base/xevd.c:252-255)
+CTU_LOG2_B = 6
+CTU_SIZE_B = 1 << CTU_LOG2_B
+
+# Slice types (ref: inc/xevd.h:180-183)
+SLICE_B = 0
+SLICE_P = 1
+SLICE_I = 2
+
+# Prediction modes (ref: src_base/xevd_def.h:284-300)
+MODE_INTRA = 0
+MODE_INTER = 1
+MODE_SKIP = 2
+MODE_DIR = 3
+PRED_L0 = 0
+PRED_L1 = 1
+PRED_BI = 2
+PRED_DIR = 4
+
+# Intra prediction modes, Baseline (ref: src_base/xevd_def.h:332-347)
+IPD_DC_B = 0
+IPD_HOR_B = 1
+IPD_VER_B = 2
+IPD_UL_B = 3
+IPD_UR_B = 4
+IPD_CNT_B = 5
+
+REFP_NUM = 2
+MV_D = 2
+REFI_INVALID = -1
+
+# NAL unit types (ref: inc/xevd.h:134-140)
+NUT_NONIDR = 0
+NUT_IDR = 1
+NUT_SPS = 24
+NUT_PPS = 25
+NUT_APS = 26
+NUT_FD = 27
+NUT_SEI = 28
+
+# quant (ref: src_base/xevd_def.h:572-573)
+QUANT_SHIFT = 14
+QUANT_IQUANT_SHIFT = 20
+MAX_TX_DYNAMIC_RANGE = 15
+MAX_TX_VAL = (1 << MAX_TX_DYNAMIC_RANGE) - 1
+MIN_TX_VAL = -(1 << MAX_TX_DYNAMIC_RANGE)
+
+# DPB (ref: src_base/xevd_def.h:221-230,600-601)
+MAX_NUM_REF_PICS = 21
+MAX_NUM_ACTIVE_REF_FRAME = 5
+DELAYED_FRAME = 1
+EXTRA_FRAME = MAX_NUM_ACTIVE_REF_FRAME + DELAYED_FRAME
+MAX_PB_SIZE = MAX_NUM_REF_PICS + EXTRA_FRAME
+MAX_NUM_MVP = 4
+
+MC_PRECISION = 4  # 1/16-pel internal motion precision
+
+# ---------------------------------------------------------------------------
+# Inverse-DCT2 basis matrices, sizes 2..64.  tm[k][i] = basis value of
+# frequency k at spatial position i (ref: src_base/xevd_tbl.c:89-241).
+# The full 2^n family is generated from the 64-point kernel by the standard
+# even-entry sub-sampling relation: tmN[k][i] = tm64[k*(64//N)][i].
+# ---------------------------------------------------------------------------
+_TM64_ROW0 = [
+    64, 90, 90, 90, 90, 90, 90, 89, 89, 88, 88, 87, 87, 86, 85, 84,
+    84, 83, 82, 81, 80, 79, 78, 76, 75, 74, 73, 71, 70, 69, 67, 66,
+    64, 62, 61, 59, 57, 56, 54, 52, 50, 48, 47, 45, 43, 41, 39, 37,
+    35, 33, 30, 28, 26, 24, 22, 20, 18, 15, 13, 11, 9, 7, 4, 2,
+]
+
+
+def _gen_tm64() -> np.ndarray:
+    """Generate the 64-point DCT-2 integer basis from its first column.
+
+    The EVC integer DCT-2 matrix satisfies tm[k][i] =
+    round(scale * cos(pi*k*(2i+1)/128)) with per-frequency integer values
+    matching column 0; the exact table is reproduced via the cosine
+    symmetry of the first column entries.
+    """
+    tm = np.zeros((64, 64), dtype=np.int32)
+    # col0[k] = tm[k][0] given by _TM64_ROW0
+    # Other entries follow from tm[k][i] = sgn * col0[(k*(2i+1)) mod 256 folded]
+    # Use the standard folding of the cosine argument:
+    for k in range(64):
+        for i in range(64):
+            a = (k * (2 * i + 1)) % 256  # angle index in units of pi/128
+            # fold into [0,64] with sign
+            if a > 128:
+                a = 256 - a
+            if a > 64:
+                sgn = -1
+                a = 128 - a
+            else:
+                sgn = 1
+            tm[k, i] = sgn * _TM64_ROW0[a] if a < 64 else 0
+    return tm
+
+
+TM64 = _gen_tm64()
+TM32 = TM64[::2, :32].copy()
+TM16 = TM64[::4, :16].copy()
+TM8 = TM64[::8, :8].copy()
+TM4 = TM64[::16, :4].copy()
+TM2 = TM64[::32, :2].copy()
+TM = {1: TM2, 2: TM4, 3: TM8, 4: TM16, 5: TM32, 6: TM64}
+
+# Dequant scales (ref: src_base/xevd_tbl.c:255-256)
+DQ_SCALE = np.array([40, 45, 51, 57, 64, 72], dtype=np.int32)
+DQ_SCALE_B = np.array([40, 45, 51, 57, 64, 71], dtype=np.int32)
+
+# ---------------------------------------------------------------------------
+# Deblocking strength table by QP (ref: src_base/xevd_tbl.c:306-324)
+# ---------------------------------------------------------------------------
+DF_ST = np.array([
+    # intra
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10,
+     11, 12, 12, 12, 12, 12],
+    # non-zero luma coeff
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0, 0, 0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9,
+     10, 11, 11, 11, 11, 11],
+    # no coeff & |mvd| >= 4 (quarter-pel units)
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 4, 4, 5, 6, 7, 8,
+     9, 10, 10, 10, 10, 10],
+    # no deblock
+    [0] * 52,
+], dtype=np.int32)
+
+# ---------------------------------------------------------------------------
+# MPM table: mpm[ipm_left][ipm_up] is a permutation of the 5 baseline modes
+# (ref: src_base/xevd_tbl.c:46-54).  Index 0 in each axis = "unavailable".
+# ---------------------------------------------------------------------------
+MPM_B = np.array([
+    [[0, 2, 3, 1, 4], [0, 2, 1, 3, 4], [0, 2, 1, 3, 4], [1, 2, 0, 3, 4], [0, 2, 1, 3, 4], [0, 1, 2, 3, 4]],
+    [[1, 0, 2, 3, 4], [0, 1, 2, 3, 4], [0, 1, 2, 3, 4], [1, 2, 0, 3, 4], [0, 1, 3, 2, 4], [0, 2, 1, 4, 3]],
+    [[1, 0, 2, 3, 4], [1, 0, 2, 3, 4], [1, 0, 2, 3, 4], [2, 0, 1, 3, 4], [1, 0, 3, 2, 4], [0, 1, 2, 4, 3]],
+    [[1, 0, 2, 3, 4], [0, 2, 1, 3, 4], [1, 0, 2, 3, 4], [1, 2, 0, 3, 4], [0, 1, 2, 3, 4], [0, 2, 1, 4, 3]],
+    [[0, 1, 2, 3, 4], [0, 3, 2, 1, 4], [1, 0, 2, 3, 4], [1, 2, 0, 3, 4], [1, 2, 3, 0, 4], [0, 2, 1, 4, 3]],
+    [[0, 1, 2, 3, 4], [0, 1, 2, 4, 3], [0, 1, 2, 4, 3], [0, 2, 1, 4, 3], [0, 1, 2, 3, 4], [0, 1, 2, 4, 3]],
+], dtype=np.int32)
+
+# ---------------------------------------------------------------------------
+# Motion-compensation filter taps
+# (ref: src_base/xevd_mc.c:80-134). Index = fractional phase.
+# ---------------------------------------------------------------------------
+MC_L_COEFF = np.zeros((16, 8), dtype=np.int32)
+MC_L_COEFF[0] = [0, 0, 0, 64, 0, 0, 0, 0]
+MC_L_COEFF[4] = [0, 1, -5, 52, 20, -5, 1, 0]
+MC_L_COEFF[8] = [0, 2, -10, 40, 40, -10, 2, 0]
+MC_L_COEFF[12] = [0, 1, -5, 20, 52, -5, 1, 0]
+
+MC_C_COEFF = np.zeros((32, 4), dtype=np.int32)
+MC_C_COEFF[0] = [0, 64, 0, 0]
+MC_C_COEFF[4] = [-2, 58, 10, -2]
+MC_C_COEFF[8] = [-4, 52, 20, -4]
+MC_C_COEFF[12] = [-6, 46, 30, -6]
+MC_C_COEFF[16] = [-8, 40, 40, -8]
+MC_C_COEFF[20] = [-6, 30, 46, -6]
+MC_C_COEFF[24] = [-4, 20, 52, -4]
+MC_C_COEFF[28] = [-2, 10, 58, -2]
+
+# ---------------------------------------------------------------------------
+# Chroma QP adjust tables (ref: src_base/xevd_tbl.c:334-352)
+# ---------------------------------------------------------------------------
+QP_CHROMA_ADJUST_BASE = np.array([
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+    10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    29, 29, 30, 31, 32, 32, 33, 33, 34, 34,
+    35, 35, 36, 36, 36, 37, 37, 37, 38, 38,
+    39, 39, 40, 40, 40, 41, 41, 41], dtype=np.int32)
+
+QP_CHROMA_ADJUST_MAIN = np.array([
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+    10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+    20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    29, 30, 31, 32, 33, 34, 35, 36, 37, 37,
+    38, 39, 40, 40, 41, 42, 43, 44, 45, 46,
+    47, 48, 49, 50, 51, 52, 53, 54], dtype=np.int32)
+
+MAX_QP_TABLE_SIZE = 58
+MAX_QP_TABLE_SIZE_EXT = 94
+
+
+def build_chroma_qp_tables(bit_depth_chroma: int,
+                           chroma_qp_table=None,
+                           base_profile: bool = True) -> np.ndarray:
+    """Build the dynamic chroma QP mapping table, indexed by
+    qp_i + 6*(bd-8) (we store with offset so index 0 == qp -6*(bd-8)).
+
+    Returns array of shape [2, MAX_QP_TABLE_SIZE_EXT] where entry
+    [c][qp + qp_bd_offset] = mapped chroma qp (before +6*(bd-8) add).
+    (ref: src_base/xevd_tbl.c:363-425, src_base/xevd.c:347-358)
+    """
+    qp_bd_offset = 6 * (bit_depth_chroma - 8)
+    tbl = np.zeros((2, MAX_QP_TABLE_SIZE_EXT), dtype=np.int32)
+    for c in range(2):
+        for i in range(qp_bd_offset):
+            tbl[c, i] = i - qp_bd_offset
+    adjust = QP_CHROMA_ADJUST_BASE if base_profile else QP_CHROMA_ADJUST_MAIN
+    if chroma_qp_table is None or not chroma_qp_table.present:
+        for c in range(2):
+            tbl[c, qp_bd_offset:qp_bd_offset + MAX_QP_TABLE_SIZE] = adjust
+    else:
+        _derive_signalled_chroma_qp(tbl, chroma_qp_table, bit_depth_chroma)
+    return tbl
+
+
+def _derive_signalled_chroma_qp(tbl, cqt, bit_depth):
+    """Piecewise-linear signalled chroma QP tables
+    (ref: src_base/xevd_tbl.c:375-425)."""
+    MAX_QP = MAX_QP_TABLE_SIZE - 1
+    qp_bd_offset = 6 * (bit_depth - 8)
+    start_qp = 16 if cqt.global_offset_flag else -qp_bd_offset
+    num_tables = 1 if cqt.same_qp_table_for_chroma else 2
+
+    def T(c, qp):  # map qp in [-qp_bd_offset, MAX_QP] to index
+        return (c, qp + qp_bd_offset)
+
+    for i in range(num_tables):
+        n = cqt.num_points_in_qp_table_minus1[i]
+        qp_in = [0] * (n + 1)
+        qp_out = [0] * (n + 1)
+        qp_in[0] = start_qp + cqt.delta_qp_in_val_minus1[i][0]
+        qp_out[0] = start_qp + cqt.delta_qp_in_val_minus1[i][0] + cqt.delta_qp_out_val[i][0]
+        for j in range(1, n + 1):
+            qp_in[j] = qp_in[j - 1] + cqt.delta_qp_in_val_minus1[i][j] + 1
+            qp_out[j] = qp_out[j - 1] + (cqt.delta_qp_in_val_minus1[i][j] + 1 + cqt.delta_qp_out_val[i][j])
+        tbl[T(i, qp_in[0])] = qp_out[0]
+        for k in range(qp_in[0] - 1, -qp_bd_offset - 1, -1):
+            tbl[T(i, k)] = np.clip(tbl[T(i, k + 1)] - 1, -qp_bd_offset, MAX_QP)
+        for j in range(n):
+            sh = (cqt.delta_qp_in_val_minus1[i][j + 1] + 1) >> 1
+            m = 1
+            for k in range(qp_in[j] + 1, qp_in[j + 1] + 1):
+                tbl[T(i, k)] = tbl[T(i, qp_in[j])] + (
+                    (qp_out[j + 1] - qp_out[j]) * m + sh) // (cqt.delta_qp_in_val_minus1[i][j + 1] + 1)
+                m += 1
+        for k in range(qp_in[n] + 1, MAX_QP + 1):
+            tbl[T(i, k)] = np.clip(tbl[T(i, k - 1)] + 1, -qp_bd_offset, MAX_QP)
+    if cqt.same_qp_table_for_chroma:
+        tbl[1] = tbl[0]
+
+
+# ---------------------------------------------------------------------------
+# Zigzag scan tables (ref: src_base/xevd_util.c:1004-1047)
+# ---------------------------------------------------------------------------
+def zigzag_scan(size_x: int, size_y: int) -> np.ndarray:
+    """scan[pos] = raster index of the pos-th coefficient in zigzag order."""
+    scan = np.zeros(size_x * size_y, dtype=np.int32)
+    pos = 1
+    scan[0] = 0
+    for l in range(1, size_x + size_y - 1):
+        if l % 2:  # decreasing x
+            x = min(l, size_x - 1)
+            y = max(0, l - (size_x - 1))
+            while x >= 0 and y < size_y:
+                scan[pos] = y * size_x + x
+                pos += 1
+                x -= 1
+                y += 1
+        else:
+            y = min(l, size_y - 1)
+            x = max(0, l - (size_y - 1))
+            while y >= 0 and x < size_x:
+                scan[pos] = y * size_x + x
+                pos += 1
+                x += 1
+                y -= 1
+    return scan
+
+
+SCAN_TBL = {}
+for _ly in range(1, MAX_CU_LOG2):
+    for _lx in range(1, MAX_CU_LOG2):
+        SCAN_TBL[(_lx, _ly)] = zigzag_scan(1 << _lx, 1 << _ly)
+
+TBL_LOG2 = np.zeros(257, dtype=np.int32)
+for _i in range(2, 257):
+    TBL_LOG2[_i] = int(np.log2(_i))
