@@ -83,6 +83,22 @@ class NumpyPixelBackend:
 
     name = "numpy"
 
+    def make_picture_planes(self, rec_planes, fs, sps):
+        """Pad-expand reconstructed planes into DPB picture planes."""
+        rec_y, rec_u, rec_v = rec_planes
+        cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
+        ch_s = 1 if sps.chroma_format_idc == 1 else 0
+        y = pad_expand(rec_y, fs.w, fs.h, T.PIC_PAD_SIZE_L)
+        if sps.chroma_format_idc:
+            u = pad_expand(rec_u, fs.w >> cw_s, fs.h >> ch_s, T.PIC_PAD_SIZE_C)
+            v = pad_expand(rec_v, fs.w >> cw_s, fs.h >> ch_s, T.PIC_PAD_SIZE_C)
+        else:
+            u = v = None
+        return y, u, v
+
+    def to_host(self, plane):
+        return np.asarray(plane)
+
     def decode_frame(self, job, sps, refp):
         fs = job.fs
         bd = sps.bit_depth_luma_minus8 + 8
@@ -218,8 +234,13 @@ def pad_expand(plane: np.ndarray, w: int, h: int, pad: int) -> np.ndarray:
 class Decoder:
     """EVC Baseline decoder with xevd-shaped API."""
 
-    def __init__(self, threads: int = 1, backend=None):
+    def __init__(self, threads: int = 1, backend=None,
+                 use_native_entropy: bool | None = None):
         self.backend = backend or NumpyPixelBackend()
+        if use_native_entropy is None:
+            from . import native
+            use_native_entropy = native.available()
+        self.use_native_entropy = use_native_entropy
         self.sps = None
         self.pps = None
         self.sh = None
@@ -336,8 +357,14 @@ class Decoder:
                                   self.last_intra_poc)
         num_refp = tuple(self.dpm.num_refp)
 
-        ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl)
-        fs = ent.decode_slice(bs, sh, num_refp)
+        if self.use_native_entropy:
+            from .native import decode_slice_native
+            payload = bytes(bs.buf[bs.bytes_read():])
+            fs = decode_slice_native(payload, sps, pps, sh, num_refp,
+                                     self.chroma_qp_tbl)
+        else:
+            ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl)
+            fs = ent.decode_slice(bs, sh, num_refp)
         job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
                            self.chroma_qp_tbl)
         rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
@@ -347,13 +374,8 @@ class Decoder:
         if slot >= 0:
             self.dpm.remove_pic(slot)
         pic = Picture(w=fs.w, h=fs.h)
-        pad, pad_c = pic.pad_l, pic.pad_c
-        cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
-        ch_s = 1 if sps.chroma_format_idc == 1 else 0
-        pic.y = pad_expand(rec_y, fs.w, fs.h, pad)
-        if sps.chroma_format_idc:
-            pic.u = pad_expand(rec_u, fs.w >> cw_s, fs.h >> ch_s, pad_c)
-            pic.v = pad_expand(rec_v, fs.w >> cw_s, fs.h >> ch_s, pad_c)
+        pic.y, pic.u, pic.v = self.backend.make_picture_planes(
+            (rec_y, rec_u, rec_v), fs, sps)
         pic.map_mv = job.map_mv
         pic.map_refi = job.map_refi
         pic.sei = self.pending_sei
@@ -386,17 +408,18 @@ class Decoder:
         ct = sps.picture_crop_top_offset * 2 if sps.picture_cropping_flag else 0
         cb = sps.picture_crop_bottom_offset * 2 if sps.picture_cropping_flag else 0
         planes = []
-        y = pic.y[pad + ct:pad + pic.h - cb, pad + cl:pad + pic.w - cr]
+        y = np.asarray(pic.y[pad + ct:pad + pic.h - cb,
+                             pad + cl:pad + pic.w - cr])
         planes.append(y)
         if sps.chroma_format_idc:
-            u = pic.u[pad_c + (ct >> ch_s):pad_c + ((pic.h - cb) >> ch_s),
-                      pad_c + (cl >> cw_s):pad_c + ((pic.w - cr) >> cw_s)]
-            v = pic.v[pad_c + (ct >> ch_s):pad_c + ((pic.h - cb) >> ch_s),
-                      pad_c + (cl >> cw_s):pad_c + ((pic.w - cr) >> cw_s)]
+            u = np.asarray(pic.u[pad_c + (ct >> ch_s):pad_c + ((pic.h - cb) >> ch_s),
+                                 pad_c + (cl >> cw_s):pad_c + ((pic.w - cr) >> cw_s)])
+            v = np.asarray(pic.v[pad_c + (ct >> ch_s):pad_c + ((pic.h - cb) >> ch_s),
+                                 pad_c + (cl >> cw_s):pad_c + ((pic.w - cr) >> cw_s)])
             planes += [u, v]
         for plane, want in zip(planes, sig):
             dig = hashlib.md5(np.ascontiguousarray(
-                plane.astype("<u2")).tobytes()).digest()
+                np.asarray(plane).astype("<u2")).tobytes()).digest()
             if dig[:len(want)] != want:
                 return False
         return True

@@ -1,0 +1,129 @@
+"""ctypes bindings for the native host entropy engine (native/evc_entropy.c).
+
+Falls back transparently to the pure-Python entropy pass when the shared
+library hasn't been built.  Build: `make -C native` (or tests build it on
+demand).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from . import tables as T
+from .frame import FrameSyntax
+
+_REPO = Path(__file__).resolve().parent.parent
+_SO = _REPO / "native" / "libevc_entropy.so"
+_LIB = None
+
+CU_FIELDS = 20
+
+
+def _build():
+    src = _REPO / "native" / "evc_entropy.c"
+    subprocess.run(
+        ["cc", "-O2", "-shared", "-fPIC", "-o", str(_SO), str(src)],
+        check=True)
+
+
+def get_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not _SO.exists() or _SO.stat().st_mtime < (_SO.parent / "evc_entropy.c").stat().st_mtime:
+        try:
+            _build()
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    lib.evc_decode_slice.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
+                        chroma_qp_tbl) -> FrameSyntax:
+    """Native equivalent of frame.EntropyDecoder.decode_slice."""
+    lib = get_lib()
+    w = sps.pic_width_in_luma_samples
+    h = sps.pic_height_in_luma_samples
+    w_lcu = (w + 63) // 64
+    h_lcu = (h + 63) // 64
+    w_pad, h_pad = w_lcu * 64, h_lcu * 64
+    w_scu, h_scu = (w + 3) >> 2, (h + 3) >> 2
+    cfi = sps.chroma_format_idc
+
+    coef_y = np.zeros((h_pad, w_pad), np.int16)
+    coef_u = np.zeros((h_pad >> 1, w_pad >> 1), np.int16)
+    coef_v = np.zeros_like(coef_u)
+    max_cus = w_scu * h_scu
+    cu_out = np.zeros((max_cus, CU_FIELDS), np.int32)
+    map_if = np.zeros((h_scu, w_scu), np.uint8)
+    map_qp = np.zeros((h_scu, w_scu), np.int32)
+    map_cbfl = np.zeros((h_scu, w_scu), np.uint8)
+    map_ipm = np.full((h_scu, w_scu), -1, np.int8)
+    map_skip = np.zeros((h_scu, w_scu), np.uint8)
+    edge_hor = np.zeros((h_scu, w_scu), np.uint8)
+    edge_ver = np.zeros((h_scu, w_scu), np.uint8)
+    cod_eco = np.zeros((h_scu, w_scu), np.uint8)
+
+    tbl_u = np.ascontiguousarray(chroma_qp_tbl[0], np.int32)
+    tbl_v = np.ascontiguousarray(chroma_qp_tbl[1], np.int32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    n = lib.evc_decode_slice(
+        payload, len(payload), w, h, sh.slice_type, sh.qp,
+        sh.qp_u_offset, sh.qp_v_offset, pps.cu_qp_delta_enabled_flag,
+        cfi, num_refp[0], num_refp[1], sps.bit_depth_chroma_minus8,
+        ptr(tbl_u, ctypes.c_int32), ptr(tbl_v, ctypes.c_int32),
+        ptr(coef_y, ctypes.c_int16), ptr(coef_u, ctypes.c_int16),
+        ptr(coef_v, ctypes.c_int16), ptr(cu_out, ctypes.c_int32),
+        ptr(map_if, ctypes.c_uint8), ptr(map_qp, ctypes.c_int32),
+        ptr(map_cbfl, ctypes.c_uint8), ptr(map_ipm, ctypes.c_int8),
+        ptr(map_skip, ctypes.c_uint8), ptr(edge_hor, ctypes.c_uint8),
+        ptr(edge_ver, ctypes.c_uint8), ptr(cod_eco, ctypes.c_uint8))
+    if n < 0:
+        raise ValueError(f"native entropy decode failed: {n}")
+
+    fs = FrameSyntax(w=w, h=h, w_pad=w_pad, h_pad=h_pad, w_scu=w_scu,
+                     h_scu=h_scu, slice_type=sh.slice_type, sh=sh)
+    fs.coef_y = coef_y
+    fs.coef_u = coef_u if cfi else None
+    fs.coef_v = coef_v if cfi else None
+    cu = cu_out[:n]
+    fs.cu_x = cu[:, 0].tolist()
+    fs.cu_y = cu[:, 1].tolist()
+    fs.cu_log2 = cu[:, 2].tolist()
+    fs.cu_pred_mode = cu[:, 3].tolist()
+    fs.cu_ipm = cu[:, 4].tolist()
+    fs.cu_qp = cu[:, 5].tolist()
+    fs.cu_qp_u = cu[:, 6].tolist()
+    fs.cu_qp_v = cu[:, 7].tolist()
+    fs.cu_cbf = cu[:, 8:11].tolist()
+    fs.cu_refi = cu[:, 11:13].tolist()
+    fs.cu_mvp_idx = cu[:, 13:15].tolist()
+    fs.cu_mvd = [[[int(r[15]), int(r[16])], [int(r[17]), int(r[18])]]
+                 for r in cu]
+    fs.cu_inter_dir = cu[:, 19].tolist()
+    fs.cu_avail = [0] * n
+    fs.map_if = map_if
+    fs.map_qp = map_qp
+    fs.map_cbfl = map_cbfl
+    fs.map_ipm = map_ipm
+    fs.map_skip = map_skip
+    fs.edge_hor = edge_hor
+    fs.edge_ver = edge_ver
+    return fs

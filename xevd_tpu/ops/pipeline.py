@@ -1,18 +1,19 @@
 """JAX pixel-pipeline backend: per-frame batched reconstruction.
 
-Stage plan per frame (all device work except list building):
-  1. ITDQ     — TUs bucketed by size, batched dequant+IDCT, scatter into
-                residual planes
-  2. MC       — prediction blocks bucketed by (size, filter case), batched
-                window gather + separable taps, scatter-add into pred plane,
-                bi-average by mask
-  3. recon    — rec0 = clip(int16(pred + resid)) full-plane
-  4. intra    — lax.scan over intra CUs in decode order
-  5. deblock  — vertical-edge pass then horizontal-edge pass
+Architecture (one host->device payload per frame, three async dispatches):
+  payload  — all per-frame syntax tensors packed into ONE flat int32 array
+             (the XEVD_CU_DATA-equivalent host→device batch,
+             ref: src_base/xevd_def.h:1145-1190); its static layout
+             signature keys the jit cache
+  stage A  — ITDQ: per-size batched dequant+IDCT, scatter into residual
+             planes
+  stage B  — MC: per-(size,case) batched window gather + taps, scatter-add
+             into pred planes; bi areas detected by a parallel count plane
+  stage C  — full-plane recon, intra lax.scan, deblock passes, pad-expand
 
-This is the TPU-native replacement for the per-CU scalar recon loop of the
-reference (ref: src_base/xevd.c:678-756) — the two-pass entropy/recon split
-of the reference becomes host-entropy → device-batch.
+Nothing blocks on the device mid-stream: decoded picture planes stay in
+HBM for reference by later frames; output planes are fetched lazily at
+pull/write time, so successive frames pipeline through the async queue.
 """
 from __future__ import annotations
 
@@ -23,61 +24,217 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: kernels compile once per shape class, ever
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("XEVD_TPU_JIT_CACHE",
+                                  _os.path.expanduser("~/.cache/xevd_tpu_jit")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from .. import tables as T
 from . import jax_deblock as JD
 from . import jax_intra as JI
 from . import jax_itdq as JQ
 from . import jax_mc as JM
-from .jax_intra import BORDER, PAD_R, plane_with_border
+from .jax_intra import BORDER, PAD_R
 from .ref_numpy import qp_scale
 
+MIN_BUCKET = 16
 
-def _pow2(n):
-    p = 1
+
+def _pow2(n, lo=MIN_BUCKET):
+    p = lo
     while p < n:
         p <<= 1
     return p
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _scatter_blocks(plane, blocks, pos, size):
-    """Scatter [N, s, s] blocks into the bordered plane at pos [N,2]
-    (y, x raw coords; BORDER added here).  Blocks are disjoint."""
-    n = blocks.shape[0]
-    s = size
+# ---------------------------------------------------------------------------
+# payload packing
+# ---------------------------------------------------------------------------
+class _Packer:
+    def __init__(self):
+        self.chunks = []
+        self.sig = []
+        self.off = 0
+
+    def add(self, name, arr: np.ndarray):
+        arr = np.ascontiguousarray(arr, dtype=np.int32)
+        self.chunks.append(arr.ravel())
+        self.sig.append((name, self.off, arr.shape))
+        self.off += arr.size
+
+    def finish(self):
+        payload = (np.concatenate(self.chunks) if self.chunks
+                   else np.zeros(1, np.int32))
+        return payload, tuple(self.sig)
+
+
+def _unpack(payload, sig):
+    out = {}
+    for name, off, shape in sig:
+        size = int(np.prod(shape))
+        out[name] = jax.lax.dynamic_slice(payload, (off,), (size,)).reshape(shape)
+    return out
+
+
+def _iota_pos(pos, s):
     yy = pos[:, 0][:, None, None] + jax.lax.broadcasted_iota(
         jnp.int32, (1, s, s), 1)
     xx = pos[:, 1][:, None, None] + jax.lax.broadcasted_iota(
         jnp.int32, (1, s, s), 2)
-    return plane.at[yy, xx].set(blocks, mode="drop")
+    return yy, xx
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _scatter_add_blocks(plane, blocks, pos, size):
-    s = size
-    yy = pos[:, 0][:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, s, s), 1)
-    xx = pos[:, 1][:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, s, s), 2)
-    return plane.at[yy, xx].add(blocks, mode="drop")
+# ---------------------------------------------------------------------------
+# stage A: ITDQ
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _itdq_all(payload, sig, shp_y, shp_c, bd):
+    names = _unpack(payload, sig)
+    planes = {0: jnp.zeros(shp_y, jnp.int16)}
+    if shp_c is not None:
+        planes[1] = jnp.zeros(shp_c, jnp.int16)
+        planes[2] = jnp.zeros(shp_c, jnp.int16)
+    for name, _, shape in sig:
+        if not name.startswith("q"):
+            continue
+        _, log2_s, comp_s = name.split("_")
+        log2, comp = int(log2_s), int(comp_s)
+        size = 1 << log2
+        blk = names[name]                  # [Np, 3 + size*size] rows
+        coef = blk[:, 3:].reshape(-1, size, size)
+        scale = blk[:, 0]
+        pos = blk[:, 1:3]
+        res = JQ.itdq_bucket(coef, scale, log2, log2, bd)
+        yy, xx = _iota_pos(pos, size)
+        planes[comp] = planes[comp].at[yy, xx].set(res, mode="drop")
+    if shp_c is not None:
+        return planes[0], planes[1], planes[2]
+    return planes[0], None, None
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _recon_full(pred, resid, bi_mask, rnd, bit_depth):
-    """rec0 = clip(int16(pred_avg + resid)); pred averaged where bi."""
-    maxv = (1 << bit_depth) - 1
-    p = jnp.where(bi_mask, (pred + 1) >> 1, pred)
+# ---------------------------------------------------------------------------
+# stage B: MC
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _mc_all(payload, refs, sig, shp_y, shp_c, bd):
+    refs_y, refs_u, refs_v = refs
+    names = _unpack(payload, sig)
+    pred_y = jnp.zeros(shp_y, jnp.int32)
+    cnt_y = jnp.zeros(shp_y, jnp.int8)
+    chroma = shp_c is not None
+    if chroma:
+        pred_u = jnp.zeros(shp_c, jnp.int32)
+        pred_v = jnp.zeros(shp_c, jnp.int32)
+        cnt_c = jnp.zeros(shp_c, jnp.int8)
+    for name, _, shape in sig:
+        if not name.startswith("m"):
+            continue
+        _, plane_s, size_s, case_s = name.split("_")
+        size, case = int(size_s), int(case_s)
+        is_luma = plane_s == "l"
+        e = names[name]                    # [Np, 5]: slot, gx, gy, py, px
+        slot, gx, gy = e[:, 0], e[:, 1], e[:, 2]
+        pos = e[:, 3:5]
+        if is_luma:
+            p = JM.mc_bucket((refs_y, slot, gx, gy), case, size, size, bd, True)
+            yy, xx = _iota_pos(pos, size)
+            pred_y = pred_y.at[yy, xx].add(p, mode="drop")
+            cnt_y = cnt_y.at[yy, xx].add(1, mode="drop")
+        else:
+            pu = JM.mc_bucket((refs_u, slot, gx, gy), case, size, size, bd, False)
+            pv = JM.mc_bucket((refs_v, slot, gx, gy), case, size, size, bd, False)
+            yy, xx = _iota_pos(pos, size)
+            pred_u = pred_u.at[yy, xx].add(pu, mode="drop")
+            pred_v = pred_v.at[yy, xx].add(pv, mode="drop")
+            cnt_c = cnt_c.at[yy, xx].add(1, mode="drop")
+    if chroma:
+        return pred_y, cnt_y, pred_u, pred_v, cnt_c
+    return pred_y, cnt_y, None, None, None
+
+
+# ---------------------------------------------------------------------------
+# stage C: recon + intra + deblock + pad-expand
+# ---------------------------------------------------------------------------
+def _recon_plane(pred, cnt, resid, bd):
+    maxv = (1 << bd) - 1
+    p = jnp.where(cnt == 2, (pred + 1) >> 1, pred)
     t = (p + resid.astype(jnp.int32)).astype(jnp.int16).astype(jnp.int32)
     return jnp.clip(t, 0, maxv).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _recon_all(resids, preds, bd, chroma):
+    resid_y, resid_u, resid_v = resids
+    pred_y, cnt_y, pred_u, pred_v, cnt_c = preds
+    rec_y = _recon_plane(pred_y, cnt_y, resid_y, bd)
+    if chroma:
+        rec_u = _recon_plane(pred_u, cnt_c, resid_u, bd)
+        rec_v = _recon_plane(pred_v, cnt_c, resid_v, bd)
+    else:
+        rec_u = rec_v = jnp.zeros((8, 8), jnp.int16)
+    return rec_y, rec_u, rec_v
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _deblock_finish(recs, st, geom, bd, chroma, deblock_on, pad):
+    """geom = (h, w, h_scu, w_scu).  st [6, h_scu, w_scu] or None."""
+    h, w, h_scu, w_scu = geom
+    rec_y, rec_u, rec_v = recs
+    H4, W4 = h_scu * 4, w_scu * 4
+    y_area = jax.lax.dynamic_slice(rec_y, (BORDER, BORDER), (H4, W4))
+    if chroma:
+        u_area = jax.lax.dynamic_slice(rec_u, (BORDER, BORDER),
+                                       (H4 >> 1, W4 >> 1))
+        v_area = jax.lax.dynamic_slice(rec_v, (BORDER, BORDER),
+                                       (H4 >> 1, W4 >> 1))
+    if deblock_on:
+        y_area = JD.luma_ver_pass(y_area, jnp.repeat(st[0], 4, axis=0), bd)
+        if chroma:
+            u_area = JD.chroma_ver_pass(u_area, jnp.repeat(st[2], 2, axis=0), bd)
+            v_area = JD.chroma_ver_pass(v_area, jnp.repeat(st[4], 2, axis=0), bd)
+        y_area = JD.luma_hor_pass(y_area, jnp.repeat(st[1], 4, axis=1), bd)
+        if chroma:
+            u_area = JD.chroma_hor_pass(u_area, jnp.repeat(st[3], 2, axis=1), bd)
+            v_area = JD.chroma_hor_pass(v_area, jnp.repeat(st[5], 2, axis=1), bd)
+
+    pic_y = jnp.pad(y_area[:h, :w], pad, mode="edge")
+    if chroma:
+        pic_u = jnp.pad(u_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
+        pic_v = jnp.pad(v_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
+        return pic_y, pic_u, pic_v
+    return pic_y, None, None
 
 
 class JaxPixelBackend:
     """Bit-exact JAX/XLA implementation of the Baseline pixel pipeline."""
 
     name = "jax"
+    device_resident = True
 
     def __init__(self):
-        self._ref_cache = {}
+        # sticky per-bucket row counts: shapes only grow, so jit signatures
+        # stabilize after the first few frames of a sequence
+        self._sched = {}
+
+    def _sched_keys(self, prefix):
+        for name in self._sched:
+            if not name.startswith(prefix):
+                continue
+            parts = name.split("_")
+            if prefix == "q":
+                yield (int(parts[1]), int(parts[2]))
+            else:
+                yield (parts[1], int(parts[2]), int(parts[3]))
+
+    def _rows(self, name, n):
+        req = _pow2(n)
+        cur = self._sched.get(name, 0)
+        if req > cur:
+            self._sched[name] = req
+            cur = req
+        return cur
 
     # ------------------------------------------------------------------
     def decode_frame(self, job, sps, refp):
@@ -85,18 +242,67 @@ class JaxPixelBackend:
         bd = sps.bit_depth_luma_minus8 + 8
         cfi = sps.chroma_format_idc
         assert cfi in (0, 1), "JAX backend: 4:2:0/4:0:0 only (round 1)"
-        cw_s = ch_s = 1 if cfi else 0
+        chroma = cfi == 1
 
         shp_y = (BORDER + fs.h_pad + PAD_R, BORDER + fs.w_pad + PAD_R)
-        shp_c = (BORDER + (fs.h_pad >> 1) + PAD_R,
-                 BORDER + (fs.w_pad >> 1) + PAD_R)
+        shp_c = ((BORDER + (fs.h_pad >> 1) + PAD_R,
+                  BORDER + (fs.w_pad >> 1) + PAD_R) if chroma else None)
 
-        resid_y = jnp.zeros(shp_y, jnp.int16)
-        resid_u = jnp.zeros(shp_c, jnp.int16) if cfi else None
-        resid_v = jnp.zeros(shp_c, jnp.int16) if cfi else None
+        pk = _Packer()
+        self._pack_itdq(pk, fs, bd, chroma)
+        refs, has_inter = self._pack_mc(pk, fs, job, refp, chroma)
+        icu_np = self._pack_intra(None, fs, job)
+        if fs.sh.deblocking_filter_on:
+            dbst = jnp.asarray(np.stack([job.db_ver_y, job.db_hor_y,
+                                         job.db_ver_u, job.db_hor_u,
+                                         job.db_ver_v, job.db_hor_v]))
+        else:
+            dbst = None
+        payload_np, sig = pk.finish()
+        payload = jnp.asarray(payload_np)
 
-        # ---- 1) ITDQ buckets ----------------------------------------
-        buckets = defaultdict(lambda: ([], [], []))  # (log2,comp)->（pos,coef,scale)
+        resids = _itdq_all(payload, sig, shp_y, shp_c, bd)
+        if has_inter:
+            preds = _mc_all(payload, refs, sig, shp_y, shp_c, bd)
+        else:
+            z32 = jnp.zeros(shp_y, jnp.int32)
+            z8 = jnp.zeros(shp_y, jnp.int8)
+            if chroma:
+                zc32 = jnp.zeros(shp_c, jnp.int32)
+                zc8 = jnp.zeros(shp_c, jnp.int8)
+                preds = (z32, z8, zc32, zc32, zc8)
+            else:
+                preds = (z32, z8, None, None, None)
+
+        recs = _recon_all(resids, preds, bd, chroma)
+        if icu_np is not None:
+            icu = jnp.asarray(icu_np)
+            cu = {"x": icu[:, 0], "y": icu[:, 1], "log2": icu[:, 2],
+                  "ipm": icu[:, 3], "up_mask": icu[:, 4],
+                  "left_mask": icu[:, 5], "corner": icu[:, 6],
+                  "valid": icu[:, 7]}
+            recs = JI.intra_scan(
+                recs,
+                (resids[0], resids[1] if chroma else resids[0],
+                 resids[2] if chroma else resids[0]),
+                cu, bd, chroma)
+        geom = (fs.h, fs.w, fs.h_scu, fs.w_scu)
+        planes = _deblock_finish(recs, dbst, geom, bd, chroma,
+                                 bool(fs.sh.deblocking_filter_on),
+                                 T.PIC_PAD_SIZE_L)
+        return planes
+
+    # ------------------------------------------------------------------
+    def make_picture_planes(self, rec_planes, fs, sps):
+        # decode_frame already produced padded picture planes on device
+        return rec_planes
+
+    def to_host(self, plane):
+        return np.asarray(plane)
+
+    # ------------------------------------------------------------------
+    def _pack_itdq(self, pk, fs, bd, chroma):
+        buckets = defaultdict(list)
         n = fs.num_cus()
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_SKIP:
@@ -104,69 +310,63 @@ class JaxPixelBackend:
             cbf = fs.cu_cbf[i]
             x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
             if cbf[0]:
-                p, c, s = buckets[(log2, 0)]
-                p.append((y, x))
-                c.append(fs.coef_y[y:y + (1 << log2), x:x + (1 << log2)])
-                s.append(qp_scale(fs.cu_qp[i] + 6 * (bd - 8)))
-            if cfi:
+                s = 1 << log2
+                row = np.empty(3 + s * s, np.int32)
+                row[0] = qp_scale(fs.cu_qp[i] + 6 * (bd - 8))
+                row[1] = y + BORDER
+                row[2] = x + BORDER
+                row[3:] = fs.coef_y[y:y + s, x:x + s].ravel()
+                buckets[(log2, 0)].append(row)
+            if chroma:
                 lw = log2 - 1
+                s = 1 << lw
                 xc, yc = x >> 1, y >> 1
                 if cbf[1]:
-                    p, c, s = buckets[(lw, 1)]
-                    p.append((yc, xc))
-                    c.append(fs.coef_u[yc:yc + (1 << lw), xc:xc + (1 << lw)])
-                    s.append(qp_scale(fs.cu_qp_u[i]))
+                    row = np.empty(3 + s * s, np.int32)
+                    row[0] = qp_scale(fs.cu_qp_u[i])
+                    row[1] = yc + BORDER
+                    row[2] = xc + BORDER
+                    row[3:] = fs.coef_u[yc:yc + s, xc:xc + s].ravel()
+                    buckets[(lw, 1)].append(row)
                 if cbf[2]:
-                    p, c, s = buckets[(lw, 2)]
-                    p.append((yc, xc))
-                    c.append(fs.coef_v[yc:yc + (1 << lw), xc:xc + (1 << lw)])
-                    s.append(qp_scale(fs.cu_qp_v[i]))
+                    row = np.empty(3 + s * s, np.int32)
+                    row[0] = qp_scale(fs.cu_qp_v[i])
+                    row[1] = yc + BORDER
+                    row[2] = xc + BORDER
+                    row[3:] = fs.coef_v[yc:yc + s, xc:xc + s].ravel()
+                    buckets[(lw, 2)].append(row)
+        for (log2, comp) in list(self._sched_keys("q")):
+            if (log2, comp) not in buckets:
+                buckets[(log2, comp)] = []
+        for (log2, comp), rows in buckets.items():
+            name = f"q_{log2}_{comp}"
+            N = len(rows)
+            Np = self._rows(name, max(N, 1))
+            width = 3 + (1 << log2) * (1 << log2)
+            arr = np.zeros((Np, width), np.int32)
+            if N:
+                arr[:N] = np.stack(rows)
+            arr[N:, 1:3] = 1 << 20          # OOB positions -> dropped
+            pk.add(name, arr)
 
-        for (log2, comp), (pos, coefs, scales) in buckets.items():
-            size = 1 << log2
-            N = len(pos)
-            Np = _pow2(N)
-            coef = np.zeros((Np, size, size), np.int32)
-            coef[:N] = np.stack(coefs)
-            scale = np.zeros(Np, np.int32)
-            scale[:N] = scales
-            pos_a = np.full((Np, 2), 1 << 20, np.int32)  # dummies dropped (OOB)
-            pos_a[:N] = pos
-            pos_a[:N] += BORDER
-            blocks = JQ.itdq_bucket(jnp.asarray(coef), jnp.asarray(scale),
-                                    log2, log2, bd)
-            if comp == 0:
-                resid_y = _scatter_blocks(resid_y, blocks, jnp.asarray(pos_a), size)
-            elif comp == 1:
-                resid_u = _scatter_blocks(resid_u, blocks, jnp.asarray(pos_a), size)
-            else:
-                resid_v = _scatter_blocks(resid_v, blocks, jnp.asarray(pos_a), size)
-
-        # ---- 2) MC buckets ------------------------------------------
-        pred_y = jnp.zeros(shp_y, jnp.int32)
-        pred_u = jnp.zeros(shp_c, jnp.int32) if cfi else None
-        pred_v = jnp.zeros(shp_c, jnp.int32) if cfi else None
-        bi_y = np.zeros(shp_y, bool)
-        bi_c = np.zeros(shp_c, bool) if cfi else None
-
+    # ------------------------------------------------------------------
+    def _pack_mc(self, pk, fs, job, refp, chroma):
         ref_map = {}
-        ref_planes_y = []
-        ref_planes_u = []
-        ref_planes_v = []
+        planes_y, planes_u, planes_v = [], [], []
 
         def ref_slot(lidx, ridx):
             key = (lidx, ridx)
             if key not in ref_map:
                 pic = refp[ridx][lidx].pic
-                ref_map[key] = len(ref_planes_y)
-                ref_planes_y.append(pic.y)
-                if cfi:
-                    ref_planes_u.append(pic.u)
-                    ref_planes_v.append(pic.v)
+                ref_map[key] = len(planes_y)
+                planes_y.append(pic.y)
+                if chroma:
+                    planes_u.append(pic.u)
+                    planes_v.append(pic.v)
             return ref_map[key]
 
-        mc_l = defaultdict(list)   # (size, case) -> entries
-        mc_c = defaultdict(list)
+        buckets = defaultdict(list)
+        n = fs.num_cus()
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_INTRA:
                 continue
@@ -181,149 +381,66 @@ class JaxPixelBackend:
                 mvx_c, mvy_c = _mv_clip(x, y, fs.w, fs.h, cuw, cuw, mv[lidx])
                 gx16 = (((x << 2) + mvx_c) << 2)
                 gy16 = (((y << 2) + mvy_c) << 2)
-                fx = (int(mv[lidx][0]) << 2) & 15
-                fy = (int(mv[lidx][1]) << 2) & 15
                 pic = refp[refi[lidx]][lidx].pic
-                entries.append((lidx, int(refi[lidx]), gx16, gy16, fx, fy,
+                entries.append((lidx, int(refi[lidx]), gx16, gy16,
+                                int(mv[lidx][0]), int(mv[lidx][1]),
                                 pic.poc, mvx_c, mvy_c))
-            if len(entries) == 2:
-                a, b = entries
-                if (a[6], a[7], a[8]) == (b[6], b[7], b[8]):
-                    entries = entries[:1]    # identical-motion skip
-            is_bi = len(entries) == 2
-            if is_bi:
-                ys, xs_ = y + BORDER, x + BORDER
-                bi_y[ys:ys + cuw, xs_:xs_ + cuw] = True
-                if cfi:
-                    yc, xc = (y >> 1) + BORDER, (x >> 1) + BORDER
-                    bi_c[yc:yc + (cuw >> 1), xc:xc + (cuw >> 1)] = True
-            for (lidx, ridx, gx16, gy16, fx, fy, _, _, _) in entries:
+            if len(entries) == 2 and entries[0][6:9] == entries[1][6:9]:
+                entries = entries[:1]        # identical-motion skip
+            for (lidx, ridx, gx16, gy16, mvx, mvy, _, _, _) in entries:
                 slot = ref_slot(lidx, ridx)
+                fx = (mvx << 2) & 15
+                fy = (mvy << 2) & 15
+                case = (1 if fx else 0) | (2 if fy else 0)
                 pad = T.PIC_PAD_SIZE_L
-                pad_c = T.PIC_PAD_SIZE_C
-                case = {0: JM.CASE_00, 1: JM.CASE_N0, 2: JM.CASE_0N,
-                        3: JM.CASE_NN}[(1 if fx else 0) | (2 if fy else 0)]
-                mc_l[(cuw, case)].append(
-                    (slot, gx16 + (pad << 4), gy16 + (pad << 4), y, x))
-                if cfi:
-                    fx_c = (int(mv[lidx][0]) << 2) & 31
-                    fy_c = (int(mv[lidx][1]) << 2) & 31
-                    case_c = {0: JM.CASE_00, 1: JM.CASE_N0, 2: JM.CASE_0N,
-                              3: JM.CASE_NN}[(1 if fx_c else 0) | (2 if fy_c else 0)]
-                    mc_c[(cuw >> 1, case_c)].append(
+                buckets[("l", cuw, case)].append(
+                    (slot, gx16 + (pad << 4), gy16 + (pad << 4),
+                     y + BORDER, x + BORDER))
+                if chroma:
+                    fx_c = (mvx << 2) & 31
+                    fy_c = (mvy << 2) & 31
+                    case_c = (1 if fx_c else 0) | (2 if fy_c else 0)
+                    pad_c = T.PIC_PAD_SIZE_C
+                    buckets[("c", cuw >> 1, case_c)].append(
                         (slot, gx16 + (pad_c << 5), gy16 + (pad_c << 5),
-                         y >> 1, x >> 1))
+                         (y >> 1) + BORDER, (x >> 1) + BORDER))
 
-        if ref_planes_y:
-            key = id(refp)
-            refs_y = jnp.asarray(np.stack(ref_planes_y))
-            refs_u = jnp.asarray(np.stack(ref_planes_u)) if cfi else None
-            refs_v = jnp.asarray(np.stack(ref_planes_v)) if cfi else None
+        for key in list(self._sched_keys("m")):
+            if key not in buckets:
+                buckets[key] = []
+        for (pl, size, case), entries in buckets.items():
+            name = f"m_{pl}_{size}_{case}"
+            N = len(entries)
+            Np = self._rows(name, max(N, 1))
+            arr = np.zeros((Np, 5), np.int32)
+            if N:
+                arr[:N] = entries
+            arr[N:, 3:5] = 1 << 20
+            pk.add(name, arr)
 
-            pred_y = self._run_mc(mc_l, refs_y, pred_y, bd, True)
-            if cfi:
-                pred_u = self._run_mc(mc_c, refs_u, pred_u, bd, False)
-                pred_v = self._run_mc(mc_c, refs_v, pred_v, bd, False)
-
-        # ---- 3) full-plane recon ------------------------------------
-        rec_y = _recon_full(pred_y, resid_y, jnp.asarray(bi_y), 0, bd)
-        if cfi:
-            rec_u = _recon_full(pred_u, resid_u, jnp.asarray(bi_c), 0, bd)
-            rec_v = _recon_full(pred_v, resid_v, jnp.asarray(bi_c), 0, bd)
-        else:
-            rec_u = rec_v = jnp.zeros((8, 8), jnp.int16)
-
-        # ---- 4) intra scan ------------------------------------------
-        intra_idx = [i for i in range(n) if fs.cu_pred_mode[i] == T.MODE_INTRA]
-        if intra_idx:
-            N = len(intra_idx)
-            Np = _pow2(N)
-            cu = {k: np.zeros(Np, np.int32) for k in
-                  ("x", "y", "log2", "ipm", "corner", "valid")}
-            cu["up_mask"] = np.zeros(Np, np.uint32)
-            cu["left_mask"] = np.zeros(Np, np.uint32)
-            cu["log2"][:] = 2
-            for j, i in enumerate(intra_idx):
-                cu["x"][j] = fs.cu_x[i]
-                cu["y"][j] = fs.cu_y[i]
-                cu["log2"][j] = fs.cu_log2[i]
-                cu["ipm"][j] = fs.cu_ipm[i]
-                cu["up_mask"][j] = np.uint32(job.cu_nbr_up[i] & 0xFFFFFFFF)
-                cu["left_mask"][j] = np.uint32(job.cu_nbr_left[i] & 0xFFFFFFFF)
-                cu["corner"][j] = job.cu_nbr_corner[i]
-                cu["valid"][j] = 1
-            cu = {k: jnp.asarray(v) for k, v in cu.items()}
-            rec_y, rec_u, rec_v = JI.intra_scan(
-                (rec_y, rec_u, rec_v),
-                (resid_y, resid_u if cfi else resid_y,
-                 resid_v if cfi else resid_y),
-                cu, bd, bool(cfi))
-
-        # ---- 5) deblock ---------------------------------------------
-        H4, W4 = fs.h_scu * 4, fs.w_scu * 4
-        y_area = jax.lax.dynamic_slice(rec_y, (BORDER, BORDER), (H4, W4))
-        if fs.sh.deblocking_filter_on:
-            st_v = jnp.asarray(np.repeat(job.db_ver_y, 4, axis=0))
-            st_h = jnp.asarray(np.repeat(job.db_hor_y, 4, axis=1))
-            y_area = JD.luma_ver_pass(y_area, st_v, bd)
-            if cfi:
-                Hc, Wc = H4 >> 1, W4 >> 1
-                u_area = jax.lax.dynamic_slice(rec_u, (BORDER, BORDER), (Hc, Wc))
-                v_area = jax.lax.dynamic_slice(rec_v, (BORDER, BORDER), (Hc, Wc))
-                stc_v_u = jnp.asarray(np.repeat(job.db_ver_u, 2, axis=0))
-                stc_v_v = jnp.asarray(np.repeat(job.db_ver_v, 2, axis=0))
-                u_area = JD.chroma_ver_pass(u_area, stc_v_u, bd)
-                v_area = JD.chroma_ver_pass(v_area, stc_v_v, bd)
-            y_area = JD.luma_hor_pass(y_area, st_h, bd)
-            if cfi:
-                stc_h_u = jnp.asarray(np.repeat(job.db_hor_u, 2, axis=1))
-                stc_h_v = jnp.asarray(np.repeat(job.db_hor_v, 2, axis=1))
-                u_area = JD.chroma_hor_pass(u_area, stc_h_u, bd)
-                v_area = JD.chroma_hor_pass(v_area, stc_h_v, bd)
-        elif cfi:
-            Hc, Wc = H4 >> 1, W4 >> 1
-            u_area = jax.lax.dynamic_slice(rec_u, (BORDER, BORDER), (Hc, Wc))
-            v_area = jax.lax.dynamic_slice(rec_v, (BORDER, BORDER), (Hc, Wc))
-
-        rec_y_np = np.asarray(y_area)
-        if cfi:
-            rec_u_np = np.asarray(u_area)
-            rec_v_np = np.asarray(v_area)
-        else:
-            rec_u_np = rec_v_np = None
-        # pad back to CTU grid shape expected by caller
-        out_y = np.zeros((fs.h_pad, fs.w_pad), np.int16)
-        out_y[:H4, :W4] = rec_y_np
-        if cfi:
-            out_u = np.zeros((fs.h_pad >> 1, fs.w_pad >> 1), np.int16)
-            out_v = np.zeros_like(out_u)
-            out_u[:H4 >> 1, :W4 >> 1] = rec_u_np
-            out_v[:H4 >> 1, :W4 >> 1] = rec_v_np
-        else:
-            out_u = out_v = None
-        return out_y, out_u, out_v
+        if planes_y:
+            refs = (jnp.stack(planes_y),
+                    jnp.stack(planes_u) if chroma else None,
+                    jnp.stack(planes_v) if chroma else None)
+            return refs, True
+        return (None, None, None), False
 
     # ------------------------------------------------------------------
-    def _run_mc(self, mc_buckets, refs, pred_plane, bd, is_luma):
-        for (size, case), entries in mc_buckets.items():
-            N = len(entries)
-            Np = _pow2(N)
-            slot = np.zeros(Np, np.int32)
-            gx = np.zeros(Np, np.int32)
-            gy = np.zeros(Np, np.int32)
-            pos = np.full((Np, 2), 1 << 20, np.int32)
-            for j, (s, x16, y16, py, px) in enumerate(entries):
-                slot[j] = s
-                gx[j] = x16
-                gy[j] = y16
-                pos[j] = (py, px)
-            pos[:N] += BORDER
-            preds = JM.mc_bucket(
-                (refs, jnp.asarray(slot), jnp.asarray(gx), jnp.asarray(gy)),
-                case, size, size, bd, is_luma)
-            pred_plane = _scatter_add_blocks(pred_plane, preds,
-                                             jnp.asarray(pos), size)
-        return pred_plane
+    def _pack_intra(self, pk, fs, job):
+        idx = [i for i in range(fs.num_cus())
+               if fs.cu_pred_mode[i] == T.MODE_INTRA]
+        if not idx:
+            return None
+        N = len(idx)
+        Np = self._rows("icu", N)
+        arr = np.zeros((Np, 8), np.int32)
+        arr[:, 2] = 2
+        for j, i in enumerate(idx):
+            arr[j] = (fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i], fs.cu_ipm[i],
+                      np.int32(np.uint32(job.cu_nbr_up[i] & 0xFFFFFFFF)),
+                      np.int32(np.uint32(job.cu_nbr_left[i] & 0xFFFFFFFF)),
+                      job.cu_nbr_corner[i], 1)
+        return arr
 
 
 def _mv_clip(x, y, pic_w, pic_h, w, h, mv):
