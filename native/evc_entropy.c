@@ -336,7 +336,9 @@ static void read_coef_block(Dec *d, int16_t *plane, int stride, int bx,
 static int decode_coef(Dec *d, int x, int y, int log2, int pred_mode,
                        int inter_dir, int *cbf, int *qp_out) {
     Sbac *s = &d->sbac;
-    int b_no_cbf = inter_dir == PRED_DIR;
+    int b_no_cbf = 0; /* Baseline never sets MODE_DIR
+                          (ref: src_base/xevd_eco.c:611) */
+    (void)inter_dir;
     cbf[0] = cbf[1] = cbf[2] = 0;
     if (pred_mode != MODE_INTRA) {
         if (!b_no_cbf) {

@@ -157,7 +157,8 @@ def _nalu(payload_bits: BitWriter, nut: int, tid: int = 0,
     return len(body).to_bytes(4, "big") + body
 
 
-def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None) -> bytes:
+def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None,
+              log2_sub_gop_length=0) -> bytes:
     bw = BitWriter()
     bw.write_ue(0)            # sps id
     bw.write(0, 8)            # profile baseline
@@ -172,8 +173,9 @@ def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None) -> bytes:
     for _ in range(13):
         bw.write1(0)          # btt,suco,admvp,eipd,cm_init,iqt,addb,alf,htdf,
                               # rpl,pocs,dquant,dra
-    bw.write_ue(0)            # log2_sub_gop_length
-    bw.write_ue(0)            # log2_ref_pic_gap_length
+    bw.write_ue(log2_sub_gop_length)
+    if log2_sub_gop_length == 0:
+        bw.write_ue(0)        # log2_ref_pic_gap_length
     bw.write_ue(max_num_ref_pics)
     bw.write1(0)              # cropping
     bw.write1(0)              # chroma qp table present
@@ -221,7 +223,8 @@ class FrameEncoder:
     """Encodes one slice worth of CTUs with random decisions."""
 
     def __init__(self, w, h, slice_type, qp, rng: np.random.Generator,
-                 num_refp=0, prev_maps=None, density=0.5):
+                 num_refp=0, prev_maps=None, density=0.5, refp=None,
+                 num_refp1=0, poc=0):
         self.w, self.h = w, h
         self.slice_type = slice_type
         self.qp = qp
@@ -237,6 +240,9 @@ class FrameEncoder:
         self.map_refi = np.full((self.h_scu, self.w_scu, 2), -1, np.int8)
         self.prev_maps = prev_maps  # (map_mv of refp[0][0]) for TMVP
         self.density = density
+        self.refp = refp            # decoder-style refp[ridx][lidx] views
+        self.num_refp1 = num_refp1
+        self.poc = poc
 
     def encode(self) -> bytes:
         ctu = T.CTU_SIZE_B
@@ -278,6 +284,7 @@ class FrameEncoder:
         scuw = cuw >> 2
 
         is_inter_slice = self.slice_type != T.SLICE_I
+        is_b = self.slice_type == T.SLICE_B
         skip = 0
         if is_inter_slice:
             skip = int(rng.random() < 0.3)
@@ -286,13 +293,17 @@ class FrameEncoder:
         if skip:
             mvp_idx = int(rng.integers(0, 4))
             sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx)
-            if self.slice_type == T.SLICE_B:
+            mv0 = self._mvp_candidates(x_scu, y_scu, scuw, 0)[mvp_idx]
+            if is_b:
                 mvp_idx1 = int(rng.integers(0, 4))
                 sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx1)
-            mvp = self._mvp_candidates(x_scu, y_scu, scuw, 0)
-            mv0 = mvp[mvp_idx]
-            self._set_inter(x_scu, y_scu, scuw, [0, -1],
-                            np.array([mv0, [0, 0]]), intra=False, skip=True)
+                mv1 = self._mvp_candidates(x_scu, y_scu, scuw, 1)[mvp_idx1]
+                self._set_inter(x_scu, y_scu, scuw, [0, 0],
+                                np.array([mv0, mv1]), intra=False, skip=True)
+            else:
+                self._set_inter(x_scu, y_scu, scuw, [0, -1],
+                                np.array([mv0, [0, 0]]), intra=False,
+                                skip=True)
             return
 
         intra = 1
@@ -301,21 +312,56 @@ class FrameEncoder:
             sb.encode_bin(ctx.pred_mode, 0, intra)
 
         if not intra:
-            # P: always L0 with refi/mvp/mvd
-            refi = int(rng.integers(0, self.num_refp))
-            self._enc_refi(refi, self.num_refp)
-            mvp_idx = int(rng.integers(0, 4))
-            sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx)
-            mvd = (int(rng.integers(-32, 33)), int(rng.integers(-32, 33)))
-            for d in range(2):
-                sb.abs_mvd(ctx.mvd, abs(mvd[d]))
-                if mvd[d]:
-                    sb.encode_bin_ep(1 if mvd[d] < 0 else 0)
-            mvp = self._mvp_candidates(x_scu, y_scu, scuw, 0)
-            mv0 = (int(mvp[mvp_idx][0]) + mvd[0], int(mvp[mvp_idx][1]) + mvd[1])
-            self._set_inter(x_scu, y_scu, scuw, [refi, -1],
-                            np.array([mv0, [0, 0]]), intra=False, skip=False)
-            cbf = self._enc_cbf(intra=False, no_cbf=False)
+            direct = 0
+            if is_b:
+                direct = int(rng.random() < 0.3)
+                sb.encode_bin(ctx.direct_mode_flag, 0, direct)
+            if direct:
+                # temporal direct: decoder derives MVs; mirror via derive
+                from xevd_tpu.derive import _mv_dir
+                scup_co = (y_scu + scuw - 1, x_scu + scuw - 1)
+                mv0, mv1 = _mv_dir(self.refp, self.poc, scup_co)
+                self._set_inter(x_scu, y_scu, scuw, [0, 0],
+                                np.array([mv0, mv1]), intra=False, skip=False)
+                cbf = self._enc_cbf(intra=False, no_cbf=False)
+            else:
+                if is_b:
+                    inter_dir = int(rng.choice([T.PRED_L0, T.PRED_L1,
+                                                T.PRED_BI]))
+                    if inter_dir == T.PRED_BI:
+                        sb.encode_bin(ctx.inter_dir, 0, 0)
+                    else:
+                        sb.encode_bin(ctx.inter_dir, 0, 1)
+                        sb.encode_bin(ctx.inter_dir, 1,
+                                      1 if inter_dir == T.PRED_L1 else 0)
+                else:
+                    inter_dir = T.PRED_L0
+                refi_out = [-1, -1]
+                mv_out = np.zeros((2, 2), np.int32)
+                for lidx in range(2):
+                    if not (((inter_dir + 1) >> lidx) & 1):
+                        continue
+                    nrefp = self.num_refp if lidx == 0 else self.num_refp1
+                    refi = int(rng.integers(0, nrefp))
+                    self._enc_refi(refi, nrefp)
+                    mvp_idx = int(rng.integers(0, 4))
+                    sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx)
+                    mvd = (int(rng.integers(-32, 33)),
+                           int(rng.integers(-32, 33)))
+                    for d in range(2):
+                        sb.abs_mvd(ctx.mvd, abs(mvd[d]))
+                        if mvd[d]:
+                            sb.encode_bin_ep(1 if mvd[d] < 0 else 0)
+                    mvp = self._mvp_candidates(x_scu, y_scu, scuw, lidx)
+                    mv_out[lidx] = ((int(mvp[mvp_idx][0]) + mvd[0]) & 0xFFFF,
+                                    (int(mvp[mvp_idx][1]) + mvd[1]) & 0xFFFF)
+                    mv_out[lidx] = np.where(mv_out[lidx] >= 0x8000,
+                                            mv_out[lidx] - 0x10000,
+                                            mv_out[lidx])
+                    refi_out[lidx] = refi
+                self._set_inter(x_scu, y_scu, scuw, refi_out, mv_out,
+                                intra=False, skip=False)
+                cbf = self._enc_cbf(intra=False, no_cbf=False)
         else:
             ipm = int(rng.integers(0, 5))
             self._enc_intra_dir(ipm, x_scu, y_scu)
@@ -414,7 +460,9 @@ class FrameEncoder:
             if x_scu + scuw < self.w_scu and self.cod[y_scu - 1, x_scu + scuw] \
                     and not self.map_if[y_scu - 1, x_scu + scuw]:
                 mvp[2] = self.map_mv[y_scu - 1, x_scu + scuw, lidx]
-        if self.prev_maps is not None:
+        if self.refp is not None and self.refp[0][lidx] is not None:
+            mvp[3] = self.refp[0][lidx].map_mv[y_scu, x_scu, 0]
+        elif self.prev_maps is not None and lidx == 0:
             mvp[3] = self.prev_maps[y_scu, x_scu, 0]
         else:
             mvp[3] = 0
@@ -439,27 +487,140 @@ class FrameEncoder:
 
 
 def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
-                  density=0.5) -> bytes:
-    """Generate a stream: 'I' = all intra, 'IPPP' = first IDR then P."""
+                  density=0.5, idr_period=0, bd=8) -> bytes:
+    """Generate a stream.
+
+    gop: 'I' all-intra, 'IPPP' low-delay P, 'RA' hierarchical B
+    (sub-GOP 4: tids [0,1,2,2], POCs [+4,+2,+1,+3]).
+    Uses the decoder's own PictureManager/POC derivation to mirror
+    reference-list construction exactly; the reference binary remains
+    the conformance oracle.
+    """
+    from xevd_tpu.dpb import PictureManager, Picture, RefPicView
+    from xevd_tpu.decoder import Poc, poc_derivation
+    from xevd_tpu.syntax import Sps as _Sps
+
     rng = np.random.default_rng(seed)
-    out = write_sps(w, h, max_num_ref_pics=2) + write_pps()
-    prev_map_mv = None
-    map_history = []  # map_mv of decoded pics, most recent first
-    for f in range(n_frames):
-        if gop == "I" or f == 0:
-            st, nut = T.SLICE_I, T.NUT_IDR
-            num_refp = 0
+    log2_sub_gop = 2 if gop == "RA" else 0
+    out = write_sps(w, h, bd=bd, max_num_ref_pics=2,
+                    log2_sub_gop_length=log2_sub_gop) + write_pps()
+
+    sps = _Sps()
+    sps.log2_sub_gop_length = log2_sub_gop
+    h_scu, w_scu = (h + 3) >> 2, (w + 3) >> 2
+
+    pm = PictureManager(2)
+    poc = Poc()
+    last_intra_poc = 0
+
+    # (slice_type, tid) decode-order schedule
+    sched = []
+    if gop == "I":
+        sched = [(T.SLICE_I, 0)] * n_frames
+    elif gop == "IPPP":
+        sched = [(T.SLICE_I, 0)] + [(T.SLICE_P, 0)] * (n_frames - 1)
+    else:  # RA
+        sched = [(T.SLICE_I, 0)]
+        pat = [(T.SLICE_P, 0), (T.SLICE_B, 1), (T.SLICE_B, 2), (T.SLICE_B, 2)]
+        while len(sched) < n_frames:
+            sched += pat
+        sched = sched[:n_frames]
+
+    for f, (st, tid) in enumerate(sched):
+        is_idr = st == T.SLICE_I and (f == 0 or (idr_period and f % idr_period == 0))
+        if f > 0 and st == T.SLICE_I:
+            is_idr = True
+        nut = T.NUT_IDR if is_idr else T.NUT_NONIDR
+        if poc.poc_val > poc.prev_pic_max_poc_val:
+            poc.prev_pic_max_poc_val = poc.poc_val
+        if is_idr:
+            poc.prev_doc_offset = -1
+            poc.prev_poc_val = 0
+            poc.poc_val = 0
         else:
-            st, nut = T.SLICE_P, T.NUT_NONIDR
-            num_refp = min(2, len(map_history))
+            poc_derivation(sps, tid, poc)
+        slice_ref_flag = tid == 0 or tid < log2_sub_gop
+        if st == T.SLICE_I:
+            last_intra_poc = poc.poc_val
+
+        refp = pm.refp_init(st, poc.poc_val, tid, last_intra_poc)
+        num_refp = tuple(pm.num_refp)
+
         sh = write_sh(st, qp, nut)
-        prev = map_history[0] if map_history else None
-        fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp,
-                          prev_maps=prev, density=density)
+        fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
+                          density=density, refp=refp, num_refp1=num_refp[1],
+                          poc=poc.poc_val)
         payload = fe.encode()
-        out += _nalu(sh, nut, 0, payload)
-        map_history.insert(0, fe.map_mv.copy())
-        map_history = map_history[:5]
+        out += _nalu(sh, nut, tid, payload)
+
+        pic = Picture(w=w, h=h)
+        pic.map_mv = fe.map_mv.copy()
+        pic.map_refi = fe.map_refi.copy()
+        pm.put_pic(pic, is_idr, poc.poc_val, tid, True, refp,
+                   slice_ref_flag, 1 << 0)
+        # release bumped outputs so DPB slots recycle
+        while True:
+            p_out, status = pm.out_pic()
+            if p_out is None:
+                break
+    return out
+
+
+
+def picture_signature_sei(md5_digests) -> bytes:
+    """SEI NALU with payload_type 0x10: per-plane MD5
+    (ref: src_base/xevd_eco.c:1652-1665)."""
+    bw = BitWriter()
+    bw.write(0x10, 8)          # payload_type
+    bw.write(16, 8)            # payload_size (per plane)
+    for dig in md5_digests:
+        for b in dig:
+            bw.write(b, 8)
+    bw.write(0x80, 8)          # rbsp trailing byte
+    return _nalu(bw, T.NUT_SEI)
+
+
+def add_signatures(stream: bytes) -> bytes:
+    """Decode `stream` with xevd_tpu and interleave picture-signature SEIs
+    after each slice NALU (matching decode order)."""
+    import hashlib
+    from xevd_tpu.decoder import Decoder
+    from xevd_tpu import info as nal_info
+    dec = Decoder()
+    out = b""
+    pos = 0
+    sigs = []
+    frames_in_order = {}
+    # first pass: decode to get per-frame planes in DECODE order
+    chunks = []
+    while pos + 4 <= len(stream):
+        ln, _, _ = nal_info(stream[pos:pos + 6])
+        chunk = stream[pos:pos + 4 + ln]
+        nalu = stream[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        st = dec.decode(nalu)
+        sig = None
+        if st.fnum >= 0:
+            pic = dec.last_pic
+            import numpy as np
+            pad, pad_c = pic.pad_l, pic.pad_c
+            digs = []
+            y = np.asarray(pic.y[pad:pad + pic.h, pad:pad + pic.w])
+            digs.append(hashlib.md5(np.ascontiguousarray(
+                y.astype("<u2")).tobytes()).digest())
+            for pl in (pic.u, pic.v):
+                c = np.asarray(pl[pad_c:pad_c + (pic.h >> 1),
+                                  pad_c:pad_c + (pic.w >> 1)])
+                digs.append(hashlib.md5(np.ascontiguousarray(
+                    c.astype("<u2")).tobytes()).digest())
+            sig = picture_signature_sei(digs)
+        chunks.append((chunk, sig))
+        while dec.pull()[0] is not None:
+            pass
+    for chunk, sig in chunks:
+        out += chunk
+        if sig:
+            out += sig
     return out
 
 
@@ -471,10 +632,11 @@ def main():
     ap.add_argument("-n", "--frames", type=int, default=1)
     ap.add_argument("-q", "--qp", type=int, default=30)
     ap.add_argument("-s", "--seed", type=int, default=0)
-    ap.add_argument("-g", "--gop", default="I", choices=["I", "IPPP"])
+    ap.add_argument("-g", "--gop", default="I", choices=["I", "IPPP", "RA"])
+    ap.add_argument("-b", "--bitdepth", type=int, default=8)
     args = ap.parse_args()
     data = encode_stream(args.width, args.height, args.frames, args.qp,
-                         args.seed, args.gop)
+                         args.seed, args.gop, bd=args.bitdepth)
     Path(args.output).write_bytes(data)
     print(f"wrote {args.output}: {len(data)} bytes")
 

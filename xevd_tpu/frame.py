@@ -339,7 +339,10 @@ class EntropyDecoder:
         sbac = self.sbac
         ctx = sbac.ctx
         sps = self.sps
-        b_no_cbf = inter_dir == T.PRED_DIR
+        # In Baseline, pred_mode never becomes MODE_DIR, so cbf_all is
+        # read even for direct CUs (ref: src_base/xevd_eco.c:611 checks
+        # pred_mode==MODE_DIR, which only Main sets)
+        b_no_cbf = False
         cbf = [0, 0, 0]
 
         if pred_mode != T.MODE_INTRA:

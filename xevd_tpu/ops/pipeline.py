@@ -260,10 +260,12 @@ class JaxPixelBackend:
             dbst = None
         payload_np, sig = pk.finish()
         payload = jnp.asarray(payload_np)
+        sig_q = tuple(e for e in sig if e[0].startswith("q"))
+        sig_m = tuple(e for e in sig if e[0].startswith("m"))
 
-        resids = _itdq_all(payload, sig, shp_y, shp_c, bd)
+        resids = _itdq_all(payload, sig_q, shp_y, shp_c, bd)
         if has_inter:
-            preds = _mc_all(payload, refs, sig, shp_y, shp_c, bd)
+            preds = _mc_all(payload, refs, sig_m, shp_y, shp_c, bd)
         else:
             z32 = jnp.zeros(shp_y, jnp.int32)
             z8 = jnp.zeros(shp_y, jnp.int8)
@@ -411,7 +413,7 @@ class JaxPixelBackend:
         for (pl, size, case), entries in buckets.items():
             name = f"m_{pl}_{size}_{case}"
             N = len(entries)
-            Np = self._rows(name, max(N, 1))
+            Np = self._rows(name, max(N, 64))
             arr = np.zeros((Np, 5), np.int32)
             if N:
                 arr[:N] = entries
@@ -432,7 +434,7 @@ class JaxPixelBackend:
         if not idx:
             return None
         N = len(idx)
-        Np = self._rows("icu", N)
+        Np = self._rows("icu", max(N, 64))
         arr = np.zeros((Np, 8), np.int32)
         arr[:, 2] = 2
         for j, i in enumerate(idx):
