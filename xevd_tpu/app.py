@@ -34,6 +34,8 @@ def main(argv=None):
         dec = Decoder(threads=args.threads)
     dec.use_pic_signature = args.signature
 
+    lookahead = []  # decoded frames pending write (lets device work pipeline)
+    LOOKAHEAD_DEPTH = 4
     try:
         data = open(args.input, "rb").read()
     except OSError as e:
@@ -81,14 +83,14 @@ def main(argv=None):
             if frame is not None:
                 if writer is None and args.output:
                     out_bd = args.output_bit_depth or 8
-                    cl, cr, ct, cb = frame.crop
-                    w = frame.y.shape[1] - 0
-                    h = frame.y.shape[0] - 0
+                    w = frame.y.shape[1]
+                    h = frame.y.shape[0]
                     y4m = args.output.endswith(".y4m")
                     writer = YuvWriter(args.output, w, h, out_bd,
                                        frame.chroma_format_idc, y4m)
-                if writer:
-                    writer.write(frame)
+                lookahead.append(frame)
+                if writer and len(lookahead) > LOOKAHEAD_DEPTH:
+                    writer.write(lookahead.pop(0))
                 n_out += 1
                 if not bumping:
                     n_dec += 1
@@ -96,6 +98,11 @@ def main(argv=None):
                 break
         if args.frames and n_out >= args.frames:
             break
+
+    if writer:
+        for frame in lookahead:
+            writer.write(frame)
+        lookahead = []
 
     if writer:
         writer.close()

@@ -311,7 +311,7 @@ class Decoder:
         # SPS bit depth (ref: src_base/xevd_util.c:276 — cs is always
         # *_10LE), so the app's bit-depth conversion treats samples as
         # 10-bit.  We mirror that quirk for output compatibility.
-        out = OutFrame(y=np.asarray(y), u=np.asarray(u), v=np.asarray(v),
+        out = OutFrame(y=y, u=u, v=v,
                        poc=pic.poc, bit_depth=10,
                        chroma_format_idc=sps.chroma_format_idc, crop=crop,
                        sei=pic.sei)

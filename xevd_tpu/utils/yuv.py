@@ -49,10 +49,13 @@ class YuvWriter:
         if self.y4m:
             self.f.write(b"FRAME\n")
         bd = frame.bit_depth
-        self.f.write(plane_bytes(conv_plane(frame.y, bd, self.out_bd), self.out_bd))
+        y = np.asarray(frame.y)
+        self.f.write(plane_bytes(conv_plane(y, bd, self.out_bd), self.out_bd))
         if self.cfi:
-            self.f.write(plane_bytes(conv_plane(frame.u, bd, self.out_bd), self.out_bd))
-            self.f.write(plane_bytes(conv_plane(frame.v, bd, self.out_bd), self.out_bd))
+            u = np.asarray(frame.u)
+            v = np.asarray(frame.v)
+            self.f.write(plane_bytes(conv_plane(u, bd, self.out_bd), self.out_bd))
+            self.f.write(plane_bytes(conv_plane(v, bd, self.out_bd), self.out_bd))
 
     def close(self):
         self.f.close()
