@@ -21,11 +21,21 @@ sys.path.insert(0, str(REPO))
 import pytest  # noqa: E402
 
 REF_BIN = REPO / "refbin" / "xevdb_app"
+REF_BIN_MAIN = REPO / "refbin" / "xevd_app"
+REF_LIB_MAIN = REPO / "refbuild" / "main" / "lib" / "libxevd.so"
 FIXDIR = REPO / "tests" / "fixtures"
 
 
 def have_ref() -> bool:
     return REF_BIN.exists()
+
+
+def have_ref_main() -> bool:
+    return REF_BIN_MAIN.exists()
+
+
+def have_ref_lib() -> bool:
+    return REF_LIB_MAIN.exists()
 
 
 @pytest.fixture(scope="session")
@@ -34,23 +44,27 @@ def fixtures_dir():
     return FIXDIR
 
 
-def make_stream(path, w, h, n, qp, seed, gop, density=0.5):
+def make_stream(path, w, h, n, qp, seed, gop, density=0.5, profile=0,
+                tools=None):
     """Generate (cached) a test stream via tools/evc_enc."""
     if path.exists():
         return path
     sys.path.insert(0, str(REPO / "tools"))
     import evc_enc
-    data = evc_enc.encode_stream(w, h, n, qp, seed, gop, density)
+    t = evc_enc.Tools(**{k: 1 for k in (tools or [])})
+    data = evc_enc.encode_stream(w, h, n, qp, seed, gop, density,
+                                 profile=profile, tools=t)
     path.write_bytes(data)
     return path
 
 
-def ref_decode(stream_path, out_path, out_bd=10):
+def ref_decode(stream_path, out_path, out_bd=10, main=False):
     """Decode with the reference binary; returns path to golden YUV."""
     if out_path.exists():
         return out_path
+    binp = REF_BIN_MAIN if main else REF_BIN
     r = subprocess.run(
-        [str(REF_BIN), "-i", str(stream_path), "-o", str(out_path),
+        [str(binp), "-i", str(stream_path), "-o", str(out_path),
          "--output-bit-depth", str(out_bd)],
         capture_output=True, text=True)
     assert r.returncode == 0, f"reference decoder failed: {r.stdout}\n{r.stderr}"

@@ -1,0 +1,93 @@
+"""Main-profile bit-exactness tests.
+
+Streams are generated per-tool by tools/evc_enc (profile_idc=1) and decoded
+by the reference Main binary (oracle) and by xevd_tpu; outputs must match
+byte-for-byte at 10-bit output depth.  Kernel-level tests fuzz the numpy
+Main kernels against the reference shared library via ctypes.
+"""
+import ctypes
+import sys
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent / "tools"))
+
+import numpy as np
+import pytest
+
+from .conftest import (REF_LIB_MAIN, have_ref_lib, have_ref_main,
+                       make_stream, ref_decode)
+
+pytestmark = pytest.mark.skipif(not have_ref_main(),
+                                reason="Main reference binary missing")
+
+# name, w, h, frames, qp, seed, gop, tools
+CASES = [
+    ("m_off_i", 176, 144, 2, 30, 101, "I", ()),
+    ("m_off_p", 176, 144, 3, 33, 102, "IPPP", ()),
+    ("m_off_ra", 176, 144, 5, 30, 103, "RA", ()),
+    ("m_eipd_i", 176, 144, 2, 30, 104, "I", ("eipd",)),
+    ("m_eipd_p", 176, 144, 3, 32, 105, "IPPP", ("eipd",)),
+]
+
+
+def my_decode(stream, out):
+    from xevd_tpu.app import main
+    rc = main(["-i", str(stream), "-o", str(out), "-v", "0",
+               "--output-bit-depth", "10"])
+    assert rc == 0
+
+
+@pytest.mark.parametrize("name,w,h,n,qp,seed,gop,tools", CASES)
+def test_main_golden(fixtures_dir, name, w, h, n, qp, seed, gop, tools):
+    stream = make_stream(fixtures_dir / f"{name}.evc", w, h, n, qp, seed,
+                         gop, profile=1, tools=tools)
+    golden = ref_decode(stream, fixtures_dir / f"{name}_ref.yuv", main=True)
+    out = fixtures_dir / f"{name}_my.yuv"
+    if out.exists():
+        out.unlink()
+    my_decode(stream, out)
+    assert golden.read_bytes() == out.read_bytes(), f"{name}: output differs"
+    out.unlink()
+
+
+@pytest.mark.skipif(not have_ref_lib(), reason="reference lib missing")
+def test_eipd_kernels_vs_reference_lib():
+    """Fuzz EIPD luma/chroma prediction against xevdm_ipred / xevdm_ipred_uv
+    (ref: src_main/xevdm_ipred.c:241-305)."""
+    from xevd_tpu.ops.ref_numpy_main import NbrM, ipred_main, ipred_uv_main
+    lib = ctypes.CDLL(str(REF_LIB_MAIN))
+    pel = np.int16
+    rng = np.random.default_rng(42)
+    for (w, h) in [(4, 4), (8, 8), (16, 16), (8, 16), (32, 8)]:
+        for lr in (0, 1, 2, 3):
+            le = rng.integers(0, 256, size=2 + w + h).astype(pel)
+            up = rng.integers(0, 256, size=h + w + h).astype(pel)
+            ri = rng.integers(0, 256, size=2 + w + h).astype(pel)
+            nb = NbrM(w, h)
+            nb.left[:] = le
+            nb.up[:] = up
+            nb.right[:] = ri
+            for ipm in range(33):
+                dst = np.zeros(w * h, pel)
+                lib.xevdm_ipred(
+                    le[2:].ctypes.data_as(ctypes.c_void_p),
+                    up[h:].ctypes.data_as(ctypes.c_void_p),
+                    ri[2:].ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_ushort(lr),
+                    dst.ctypes.data_as(ctypes.c_void_p), ipm, w, h, 8)
+                mine = ipred_main(nb, lr, ipm, w, h, 8)
+                assert (mine.flatten() == dst.astype(np.int64)).all(), \
+                    f"luma ipm {ipm} {w}x{h} lr{lr}"
+            for ipm in (0, 1, 5, 12, 24, 30):
+                for ipm_c in range(5):
+                    dst = np.zeros(w * h, pel)
+                    lib.xevdm_ipred_uv(
+                        le[2:].ctypes.data_as(ctypes.c_void_p),
+                        up[h:].ctypes.data_as(ctypes.c_void_p),
+                        ri[2:].ctypes.data_as(ctypes.c_void_p),
+                        ctypes.c_ushort(lr),
+                        dst.ctypes.data_as(ctypes.c_void_p),
+                        ipm_c, ipm, w, h, 8)
+                    mine = ipred_uv_main(nb, lr, ipm_c, ipm, w, h, 8)
+                    assert (mine.flatten() == dst.astype(np.int64)).all(), \
+                        f"chroma ipm_c {ipm_c} ipm {ipm} {w}x{h} lr{lr}"

@@ -157,11 +157,34 @@ def _nalu(payload_bits: BitWriter, nut: int, tid: int = 0,
     return len(body).to_bytes(4, "big") + body
 
 
+class Tools:
+    """Main-profile SPS tool configuration (all default off).
+
+    Field names mirror the SPS flags (ref: src_main/xevdm_eco.c:1863-1931).
+    """
+    FLAGS = ("btt suco admvp affine amvr dmvr mmvd hmvp eipd ibc cm_init "
+             "adcc iqt ats addb alf htdf rpl pocs dquant dra").split()
+
+    def __init__(self, **kw):
+        for f in self.FLAGS:
+            setattr(self, f, 0)
+        self.ibc_log_max_size = 5
+        self.log2_max_poc_lsb = 8
+        for k, v in kw.items():
+            if not hasattr(self, k):
+                raise ValueError(f"unknown tool {k}")
+            setattr(self, k, v)
+
+    def any_main(self):
+        return any(getattr(self, f) for f in self.FLAGS)
+
+
 def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None,
-              log2_sub_gop_length=0) -> bytes:
+              log2_sub_gop_length=0, profile=0, tools=None) -> bytes:
+    t = tools or Tools()
     bw = BitWriter()
     bw.write_ue(0)            # sps id
-    bw.write(0, 8)            # profile baseline
+    bw.write(profile, 8)      # 0=baseline, 1=main
     bw.write(0, 8)            # level
     bw.write(0, 32)           # toolset_idc_h
     bw.write(0, 32)           # toolset_idc_l
@@ -170,13 +193,57 @@ def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None,
     bw.write_ue(h)
     bw.write_ue(bd - 8)
     bw.write_ue(bd - 8)
-    for _ in range(13):
-        bw.write1(0)          # btt,suco,admvp,eipd,cm_init,iqt,addb,alf,htdf,
-                              # rpl,pocs,dquant,dra
-    bw.write_ue(log2_sub_gop_length)
-    if log2_sub_gop_length == 0:
-        bw.write_ue(0)        # log2_ref_pic_gap_length
-    bw.write_ue(max_num_ref_pics)
+    main = profile in (1, 3)
+    bw.write1(t.btt)
+    if main and t.btt:
+        bw.write_ue(1)        # log2_ctu_size_minus5 → CTU 64
+        bw.write_ue(0)        # log2_min_cb_size_minus2 → min cb 4
+        bw.write_ue(4)        # log2_diff_ctu_max_14_cb_size
+        bw.write_ue(4)        # log2_diff_ctu_max_tt_cb_size
+        bw.write_ue(2)        # log2_diff_min_cb_min_tt_cb_size_minus2
+    bw.write1(t.suco)
+    if main and t.suco:
+        bw.write_ue(0)        # log2_diff_ctu_size_max_suco_cb_size
+        bw.write_ue(4)        # log2_diff_max_suco_min_suco_cb_size
+    bw.write1(t.admvp)
+    if main and t.admvp:
+        bw.write1(t.affine)
+        bw.write1(t.amvr)
+        bw.write1(t.dmvr)
+        bw.write1(t.mmvd)
+        bw.write1(t.hmvp)
+    bw.write1(t.eipd)
+    if main and t.eipd:
+        bw.write1(t.ibc)
+        if t.ibc:
+            bw.write_ue(t.ibc_log_max_size - 2)
+    bw.write1(t.cm_init)
+    if main and t.cm_init:
+        bw.write1(t.adcc)
+    bw.write1(t.iqt)
+    if main and t.iqt:
+        bw.write1(t.ats)
+    bw.write1(t.addb)
+    bw.write1(t.alf)
+    bw.write1(t.htdf)
+    bw.write1(t.rpl)
+    bw.write1(t.pocs)
+    bw.write1(t.dquant)
+    bw.write1(t.dra)
+    if main and t.pocs:
+        bw.write_ue(t.log2_max_poc_lsb - 4)
+    if not t.rpl or not t.pocs:
+        bw.write_ue(log2_sub_gop_length)
+        if log2_sub_gop_length == 0:
+            bw.write_ue(0)    # log2_ref_pic_gap_length
+    if not t.rpl:
+        bw.write_ue(max_num_ref_pics)
+    else:
+        bw.write_ue(max_num_ref_pics + 2)  # sps_max_dec_pic_buffering_minus1
+        bw.write1(0)          # long_term_ref_pics_flag
+        bw.write1(0)          # rpl1_same_as_rpl0_flag
+        bw.write_ue(0)        # num_ref_pic_lists_in_sps0
+        bw.write_ue(0)        # num_ref_pic_lists_in_sps1
     bw.write1(0)              # cropping
     bw.write1(0)              # chroma qp table present
     bw.write1(0)              # vui
@@ -203,15 +270,42 @@ def write_pps() -> bytes:
     return _nalu(bw, T.NUT_PPS)
 
 
-def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0) -> BitWriter:
+def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0, tools=None,
+             poc_lsb=0, rpl0=None, rpl1=None, temporal_mvp=0,
+             collocated_from_list_idx=1, collocated_from_ref_idx=0,
+             mmvd_group=0) -> BitWriter:
+    """Slice header (ref: src_main/xevdm_eco.c:2510-2809; base subset when
+    tools is None).  rpl0/rpl1: list of positive delta-POCs for RPL mode."""
+    t = tools or Tools()
     bw = BitWriter()
     bw.write_ue(0)            # pps id
     bw.write_ue(slice_type)
     if nut == T.NUT_IDR:
         bw.write1(0)          # no_output_of_prior_pics
+    if t.mmvd and slice_type in (T.SLICE_B, T.SLICE_P):
+        bw.write1(mmvd_group)
+    if t.alf:
+        bw.write1(0)          # alf_on (off for now)
+    if nut != T.NUT_IDR:
+        if t.pocs:
+            bw.write(poc_lsb & ((1 << t.log2_max_poc_lsb) - 1),
+                     t.log2_max_poc_lsb)
+        if t.rpl:
+            _write_rlp(bw, rpl0 or [])
+            _write_rlp(bw, rpl1 or [])
     if slice_type != T.SLICE_I:
         bw.write1(0)          # num_ref_idx_active_override
+        if t.admvp:
+            bw.write1(temporal_mvp)
+            if temporal_mvp:
+                if slice_type == T.SLICE_B:
+                    bw.write1(collocated_from_list_idx)
+                    bw.write1(0)  # collocated_mvp_source_list_idx
+                bw.write1(collocated_from_ref_idx)
     bw.write1(1)              # deblocking on
+    if t.addb:
+        bw.write_se(0)        # sh_deblock_alpha_offset
+        bw.write_se(0)        # sh_deblock_beta_offset
     bw.write(qp, 6)
     bw.write_se(qp_u_off)
     bw.write_se(qp_v_off)
@@ -219,17 +313,31 @@ def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0) -> BitWriter:
     return bw
 
 
+def _write_rlp(bw: BitWriter, deltas):
+    """ref_pic_list_struct writer; deltas are absolute delta-POCs
+    (positive = in the past).  Mirror of parse_rlp."""
+    bw.write_ue(len(deltas))
+    prev = 0
+    for i, d in enumerate(deltas):
+        v = d if i == 0 else d - prev
+        bw.write_ue(abs(v))
+        if v != 0:
+            bw.write1(1 if v > 0 else 0)
+        prev = d
+
+
 class FrameEncoder:
     """Encodes one slice worth of CTUs with random decisions."""
 
     def __init__(self, w, h, slice_type, qp, rng: np.random.Generator,
                  num_refp=0, prev_maps=None, density=0.5, refp=None,
-                 num_refp1=0, poc=0):
+                 num_refp1=0, poc=0, tools=None):
         self.w, self.h = w, h
         self.slice_type = slice_type
         self.qp = qp
         self.rng = rng
         self.num_refp = num_refp
+        self.tools = tools or Tools()
         self.sb = SbacEnc()
         self.w_scu = (w + 3) >> 2
         self.h_scu = (h + 3) >> 2
@@ -363,8 +471,12 @@ class FrameEncoder:
                                 intra=False, skip=False)
                 cbf = self._enc_cbf(intra=False, no_cbf=False)
         else:
-            ipm = int(rng.integers(0, 5))
-            self._enc_intra_dir(ipm, x_scu, y_scu)
+            if self.tools.eipd:
+                ipm = self._enc_intra_dir_main(x_scu, y_scu, cuw)
+                ipm_c = self._enc_intra_dir_c(ipm)
+            else:
+                ipm = int(rng.integers(0, 5))
+                self._enc_intra_dir(ipm, x_scu, y_scu)
             self._set_intra(x_scu, y_scu, scuw, ipm)
             cbf = self._enc_cbf(intra=True, no_cbf=False)
 
@@ -377,6 +489,56 @@ class FrameEncoder:
             self._enc_coef_block(log2 - 1, 1)
 
         self.cod[y_scu:y_scu + scuw, x_scu:x_scu + scuw] = 1
+
+    def _enc_intra_dir_main(self, x_scu, y_scu, cuw):
+        """EIPD luma mode: pick a decodable mode at random, then encode it
+        (mirror of xevd_eco_intra_dir, ref: src_base/xevd_eco.c:842-879)."""
+        from xevd_tpu.frame import get_mpm_main
+        sb = self.sb
+        ctx = sb.ctx
+        mpm, mpm_ext, pims = get_mpm_main(
+            x_scu, y_scu, cuw, cuw, self.map_if, self.map_ipm, self.cod,
+            self.w_scu)
+        decodable = list(dict.fromkeys(list(mpm) + list(mpm_ext) + pims[10:]))
+        ipm = int(self.rng.choice(decodable))
+        if ipm in mpm:
+            sb.encode_bin(ctx.intra_luma_pred_mpm_flag, 0, 1)
+            sb.encode_bin(ctx.intra_luma_pred_mpm_idx, 0, mpm.index(ipm))
+            return ipm
+        sb.encode_bin(ctx.intra_luma_pred_mpm_flag, 0, 0)
+        if ipm in mpm_ext:
+            sb.encode_bin_ep(1)
+            sb.encode_bins_ep(mpm_ext.index(ipm), 3)
+            return ipm
+        sb.encode_bin_ep(0)
+        rem = pims.index(ipm) - 10
+        # truncated binary, 23 symbols: val 16, b 7
+        if rem < 9:
+            sb.encode_bins_ep(rem, 4)
+        else:
+            t = rem + 9
+            sb.encode_bins_ep(t >> 1, 4)
+            sb.encode_bin_ep(t & 1)
+        return ipm
+
+    def _enc_intra_dir_c(self, ipm_l):
+        """EIPD chroma mode encoder (mirror of xevd_eco_intra_dir_c)."""
+        CONV = {12: 4, 24: 3, 0: 2, 2: 1}   # VER->VER_C HOR->HOR_C DC BI
+        conv = CONV.get(ipm_l)
+        sb = self.sb
+        rng = self.rng
+        # candidate chroma modes: DM always; others except conv
+        cands = [0] + [c for c in range(1, 5) if c != conv]
+        ipm_c = int(rng.choice(cands))
+        if ipm_c == 0:
+            sb.encode_bin(sb.ctx.intra_chroma_pred_mode, 0, 1)
+            return 0
+        sb.encode_bin(sb.ctx.intra_chroma_pred_mode, 0, 0)
+        u = ipm_c - 1
+        if conv is not None and ipm_c > conv:
+            u -= 1
+        sb.unary_ep(4, u)
+        return ipm_c
 
     def _enc_intra_dir(self, ipm, x_scu, y_scu):
         ipm_l = ipm_u = 0
@@ -487,7 +649,8 @@ class FrameEncoder:
 
 
 def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
-                  density=0.5, idr_period=0, bd=8) -> bytes:
+                  density=0.5, idr_period=0, bd=8, profile=0,
+                  tools=None) -> bytes:
     """Generate a stream.
 
     gop: 'I' all-intra, 'IPPP' low-delay P, 'RA' hierarchical B
@@ -501,9 +664,11 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
     from xevd_tpu.syntax import Sps as _Sps
 
     rng = np.random.default_rng(seed)
+    tools = tools or Tools()
     log2_sub_gop = 2 if gop == "RA" else 0
     out = write_sps(w, h, bd=bd, max_num_ref_pics=2,
-                    log2_sub_gop_length=log2_sub_gop) + write_pps()
+                    log2_sub_gop_length=log2_sub_gop, profile=profile,
+                    tools=tools) + write_pps()
 
     sps = _Sps()
     sps.log2_sub_gop_length = log2_sub_gop
@@ -546,10 +711,10 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
         refp = pm.refp_init(st, poc.poc_val, tid, last_intra_poc)
         num_refp = tuple(pm.num_refp)
 
-        sh = write_sh(st, qp, nut)
+        sh = write_sh(st, qp, nut, tools=tools)
         fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
                           density=density, refp=refp, num_refp1=num_refp[1],
-                          poc=poc.poc_val)
+                          poc=poc.poc_val, tools=tools)
         payload = fe.encode()
         out += _nalu(sh, nut, tid, payload)
 
@@ -634,9 +799,15 @@ def main():
     ap.add_argument("-s", "--seed", type=int, default=0)
     ap.add_argument("-g", "--gop", default="I", choices=["I", "IPPP", "RA"])
     ap.add_argument("-b", "--bitdepth", type=int, default=8)
+    ap.add_argument("-p", "--profile", type=int, default=0,
+                    help="0=baseline, 1=main")
+    ap.add_argument("-t", "--tools", default="",
+                    help="comma list of main tools to enable, e.g. eipd,adcc")
     args = ap.parse_args()
+    tools = Tools(**{k: 1 for k in args.tools.split(",") if k})
     data = encode_stream(args.width, args.height, args.frames, args.qp,
-                         args.seed, args.gop, bd=args.bitdepth)
+                         args.seed, args.gop, bd=args.bitdepth,
+                         profile=args.profile, tools=tools)
     Path(args.output).write_bytes(data)
     print(f"wrote {args.output}: {len(data)} bytes")
 

@@ -194,6 +194,9 @@ class NumpyPixelBackend:
                     RN.recon(pv, r[2], bool(cbf[2]), bd)
 
         # 3) intra CUs in decode order (sequential neighbor dependency)
+        eipd = bool(getattr(sps, "is_main", False) and sps.tool_eipd)
+        if eipd:
+            from .ops import ref_numpy_main as RM
         for i in range(n):
             if fs.cu_pred_mode[i] != T.MODE_INTRA:
                 continue
@@ -203,11 +206,35 @@ class NumpyPixelBackend:
             le_m = int(job.cu_nbr_left[i])
             co = int(job.cu_nbr_corner[i])
             ipm = fs.cu_ipm[i]
+            r = resid.get(i, (None, None, None))
+            cbf = fs.cu_cbf[i]
+            if eipd:
+                ue_m = int(job.cu_nbr_upext[i])
+                ri_m = int(job.cu_nbr_right[i])
+                lr = int(job.cu_avail_lr[i])
+                ipm_c = fs.cu_ipm_c[i]
+                nb = RM.build_nbr_m(rec_y, x, y, cuw, cuh, 4, up_m, ue_m,
+                                    le_m, ri_m, co, bd)
+                py = RM.ipred_main(nb, lr, ipm, cuw, cuh, bd)
+                rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0],
+                                                       bool(cbf[0]), bd)
+                if cfi:
+                    xc, yc = x >> cw_s, y >> ch_s
+                    wc, hc = cuw >> cw_s, cuh >> ch_s
+                    nb = RM.build_nbr_m(rec_u, xc, yc, wc, hc, 4 >> cw_s,
+                                        up_m, ue_m, le_m, ri_m, co, bd_c)
+                    pu = RM.ipred_uv_main(nb, lr, ipm_c, ipm, wc, hc, bd_c)
+                    nb = RM.build_nbr_m(rec_v, xc, yc, wc, hc, 4 >> cw_s,
+                                        up_m, ue_m, le_m, ri_m, co, bd_c)
+                    pv = RM.ipred_uv_main(nb, lr, ipm_c, ipm, wc, hc, bd_c)
+                    rec_u[yc:yc + hc, xc:xc + wc] = RN.recon(
+                        pu, r[1], bool(cbf[1]), bd)
+                    rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(
+                        pv, r[2], bool(cbf[2]), bd)
+                continue
             left, up, corner = RN.build_nbr(rec_y, x, y, cuw, cuh, up_m, le_m,
                                             co, 4, bd)
             py = RN.ipred_b(left, up, corner, ipm, cuw, cuh)
-            r = resid.get(i, (None, None, None))
-            cbf = fs.cu_cbf[i]
             rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0], bool(cbf[0]), bd)
             if cfi:
                 xc, yc = x >> cw_s, y >> ch_s
@@ -321,10 +348,19 @@ class Decoder:
     def _sequence_init(self):
         sps = self.sps
         from .tables import build_chroma_qp_tables
+        # Main with tool_iqt picks the main chroma-QP adjust table
+        # (ref: src_main/xevdm.c:472-479)
         self.chroma_qp_tbl = build_chroma_qp_tables(
             sps.bit_depth_chroma_minus8 + 8,
             sps.chroma_qp_table if sps.chroma_qp_table.present else None,
-            base_profile=True)
+            base_profile=not (sps.is_main and sps.tool_iqt))
+        # CTU size (ref: src_main/xevdm.c:328-340)
+        if sps.is_main and sps.sps_btt_flag:
+            self.log2_ctu = sps.log2_ctu_size_minus5 + 5
+            self.log2_min_cu = sps.log2_min_cb_size_minus2 + 2
+        else:
+            self.log2_ctu = 6
+            self.log2_min_cu = 2
         self.dpm = PictureManager(max(sps.max_num_ref_pics, 1))
         self.ref_pic_gap_length = 1 << sps.log2_ref_pic_gap_length
         self.entropy = None  # rebuilt lazily (needs pps)
@@ -357,13 +393,14 @@ class Decoder:
                                   self.last_intra_poc)
         num_refp = tuple(self.dpm.num_refp)
 
-        if self.use_native_entropy:
+        if self.use_native_entropy and not sps.is_main:
             from .native import decode_slice_native
             payload = bytes(bs.buf[bs.bytes_read():])
             fs = decode_slice_native(payload, sps, pps, sh, num_refp,
                                      self.chroma_qp_tbl)
         else:
-            ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl)
+            ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl,
+                                 log2_ctu=self.log2_ctu)
             fs = ent.decode_slice(bs, sh, num_refp)
         job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
                            self.chroma_qp_tbl)

@@ -38,6 +38,10 @@ class FrameJob:
     cu_nbr_up: np.ndarray = None    # int64 [N] bitmask (scuw+scuh units)
     cu_nbr_left: np.ndarray = None  # int64 [N]
     cu_nbr_corner: np.ndarray = None  # uint8 [N]
+    # Main-profile extras (ref: src_main/xevdm_ipred.c:39-148)
+    cu_nbr_upext: np.ndarray = None  # int64 [N] up-left extension (scuh bits)
+    cu_nbr_right: np.ndarray = None  # int64 [N] right column (scuw+scuh bits)
+    cu_avail_lr: np.ndarray = None   # uint8 [N] LR availability (recon-time)
     # deblock strengths (0 == no filtering)
     db_hor_y: np.ndarray = None     # int32 [h_scu, w_scu]
     db_hor_u: np.ndarray = None
@@ -64,6 +68,10 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     nbr_up = np.zeros(n, dtype=np.int64)
     nbr_left = np.zeros(n, dtype=np.int64)
     nbr_corner = np.zeros(n, dtype=np.uint8)
+    nbr_upext = np.zeros(n, dtype=np.int64)
+    nbr_right = np.zeros(n, dtype=np.int64)
+    avail_lr = np.zeros(n, dtype=np.uint8)
+    is_main = getattr(sps, "is_main", False)
 
     map_if = fs.map_if
     constrained = pps.constrained_intra_pred_flag
@@ -102,6 +110,33 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
             nbr_up[i] = up_mask
             nbr_left[i] = left_mask
             nbr_corner[i] = corner
+            if is_main:
+                # up-left extension + right column
+                # (ref: src_main/xevdm_ipred.c:78-92,127-145)
+                upext = 0
+                if y_scu > 0 and x_scu > 0:
+                    for u in range(scuh):
+                        xs = x_scu - 1 - u
+                        if xs >= 0 and cod[y_scu - 1, xs] and (
+                                not constrained or map_if[y_scu - 1, xs]):
+                            upext |= 1 << u
+                right = 0
+                if x_scu + scuw < w_scu:
+                    for u in range(n_units):
+                        ysu = y_scu + u
+                        if ysu < h_scu and cod[ysu, x_scu + scuw] and (
+                                not constrained or map_if[ysu, x_scu + scuw]):
+                            right |= 1 << u
+                nbr_upext[i] = upext
+                nbr_right[i] = right
+                # recon-time LR availability
+                # (ref: src_base/xevd_util.c:1156-1174)
+                lr = 0
+                if x_scu > 0 and cod[y_scu, x_scu - 1]:
+                    lr += 1
+                if x_scu + scuw < w_scu and cod[y_scu, x_scu + scuw]:
+                    lr += 2
+                avail_lr[i] = lr
             # intra: zero motion, invalid refs (already defaults)
             ys_, xs_ = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
             map_refi[ys_, xs_] = T.REFI_INVALID
@@ -164,6 +199,9 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     job.cu_nbr_up = nbr_up
     job.cu_nbr_left = nbr_left
     job.cu_nbr_corner = nbr_corner
+    job.cu_nbr_upext = nbr_upext
+    job.cu_nbr_right = nbr_right
+    job.cu_avail_lr = avail_lr
 
     if sh.deblocking_filter_on:
         _deblock_strengths(job, fs, sps, sh, chroma_qp_tbl)

@@ -43,6 +43,7 @@ class FrameSyntax:
     cu_log2: list = field(default_factory=list)
     cu_pred_mode: list = field(default_factory=list)
     cu_ipm: list = field(default_factory=list)
+    cu_ipm_c: list = field(default_factory=list)
     cu_qp: list = field(default_factory=list)
     cu_qp_u: list = field(default_factory=list)
     cu_qp_v: list = field(default_factory=list)
@@ -67,6 +68,215 @@ class FrameSyntax:
         return len(self.cu_x)
 
 
+def get_mpm_main(x_scu, y_scu, cuw, cuh, map_if, map_ipm, cod, w_scu):
+    """EIPD MPM / extended-MPM / priority-list derivation
+    (ref: src_main/xevdm_ipred.c:320-769).  Returns (mpm[2], mpm_ext[8],
+    pims[33])."""
+    IPD_DC, IPD_PLN, IPD_BI = T.IPD_DC, T.IPD_PLN, T.IPD_BI
+    IPD_VER, IPD_HOR, IPD_CNT = T.IPD_VER, T.IPD_HOR, T.IPD_CNT
+    IPD_DIA_R, IPD_DIA_L, IPD_DIA_U = T.IPD_DIA_R, T.IPD_DIA_L, T.IPD_DIA_U
+    scuw = cuw >> 2
+    ipm_l = ipm_u = ipm_r = IPD_DC
+    valid_l = valid_u = valid_r = 0
+    if x_scu > 0 and map_if[y_scu, x_scu - 1] and cod[y_scu, x_scu - 1]:
+        ipm_l = int(map_ipm[y_scu, x_scu - 1])
+        valid_l = 1
+    if y_scu > 0 and map_if[y_scu - 1, x_scu] and cod[y_scu - 1, x_scu]:
+        ipm_u = int(map_ipm[y_scu - 1, x_scu])
+        valid_u = 1
+    if x_scu + scuw < w_scu and map_if[y_scu, x_scu + scuw] and \
+            cod[y_scu, x_scu + scuw]:
+        ipm_r = int(map_ipm[y_scu, x_scu + scuw])
+        if valid_l and valid_u:
+            if ipm_l == ipm_u:
+                ipm_u = ipm_r
+            else:
+                valid_r = 1
+        elif not valid_l:
+            ipm_l = ipm_r
+        elif not valid_u:
+            ipm_u = ipm_r
+        if valid_r and (ipm_l == ipm_r or ipm_u == ipm_r):
+            valid_r = 0
+
+    mpm = [min(ipm_l, ipm_u), max(ipm_l, ipm_u)]
+    if mpm[0] == mpm[1]:
+        mpm[0] = IPD_DC
+        mpm[1] = IPD_BI if mpm[1] == IPD_DC else mpm[1]
+
+    mpm_ext = [0] * 8
+
+    def _fill_from(cands, seeds):
+        ext = list(seeds)
+        cnt = len(ext)
+        for v in cands:
+            if cnt > 7:
+                break
+            hit = False
+            for j in range(cnt):
+                if v == ext[j] or v == mpm[0] or v == mpm[1]:
+                    hit = True
+                    break
+            if not hit:
+                ext.append(v)
+                cnt += 1
+        return ext[:8] + [0] * max(0, 8 - len(ext))
+
+    if valid_r:
+        if mpm[0] < 3 and mpm[1] < 3:
+            if ipm_r < 3:
+                e0 = 0
+                if mpm[0] == IPD_DC:
+                    e0 = IPD_PLN if mpm[1] == IPD_BI else IPD_BI
+                elif mpm[0] == IPD_PLN:
+                    e0 = IPD_DC
+                mpm_ext = [e0, IPD_VER, IPD_HOR, IPD_DIA_R, IPD_DIA_L,
+                           IPD_DIA_U, IPD_VER + 4, IPD_HOR - 4]
+            else:
+                lst = [IPD_VER, IPD_HOR, IPD_DIA_R, IPD_PLN, IPD_DIA_L,
+                       IPD_DIA_U, IPD_VER + 4, IPD_HOR - 4, IPD_VER - 4,
+                       IPD_HOR + 4]
+                e0 = 0
+                if mpm[0] == IPD_DC:
+                    e0 = IPD_PLN if mpm[1] == IPD_BI else IPD_BI
+                elif mpm[0] == IPD_PLN:
+                    e0 = IPD_DC
+                seeds = [e0, ipm_r,
+                         ipm_r + 1 if ipm_r in (3, 4) else ipm_r - 2,
+                         ipm_r - 1 if ipm_r in (IPD_CNT - 1, IPD_CNT - 2)
+                         else ipm_r + 2]
+                mpm_ext = _fill_from(lst, seeds)
+        elif mpm[0] < 3:
+            if ipm_r < 3:
+                if mpm[0] == IPD_PLN:
+                    e01 = [IPD_BI, IPD_DC]
+                else:
+                    e01 = [IPD_DC if mpm[0] == IPD_BI else IPD_BI, IPD_PLN]
+                if mpm[1] > IPD_CNT - 3:
+                    rest = [IPD_CNT - 2 if mpm[1] == IPD_CNT - 1
+                            else IPD_CNT - 1, IPD_CNT - 3, IPD_CNT - 4,
+                            IPD_CNT - 5, IPD_HOR, IPD_DIA_R]
+                elif mpm[1] < 5:
+                    rest = [4 if mpm[1] == 3 else 3, 5, 6, 7, IPD_VER,
+                            IPD_DIA_R]
+                else:
+                    rest = [mpm[1] + 2, mpm[1] - 2, mpm[1] + 1, mpm[1] - 1]
+                    if 13 <= mpm[1] <= 23:
+                        rest += [mpm[1] - 5, mpm[1] + 5]
+                    else:
+                        rest += [mpm[1] - 5 if mpm[1] > 23 else mpm[1] + 5,
+                                 mpm[1] - 10 if mpm[1] > 23 else mpm[1] + 10]
+                mpm_ext = e01 + rest
+            else:
+                lst = [0] * 7 + [IPD_VER, IPD_HOR, IPD_DIA_R, IPD_PLN,
+                                 IPD_DIA_L, IPD_DIA_U, IPD_VER + 4,
+                                 IPD_HOR - 4]
+                lst[0] = ipm_r + 1 if ipm_r in (3, 4) else ipm_r - 2
+                lst[1] = (ipm_r - 1 if ipm_r in (IPD_CNT - 1, IPD_CNT - 2)
+                          else ipm_r + 2)
+                lst[2] = mpm[1] + 1 if mpm[1] in (3, 4) else mpm[1] - 2
+                lst[3] = (mpm[1] - 1 if mpm[1] in (IPD_CNT - 1, IPD_CNT - 2)
+                          else mpm[1] + 2)
+                lst[4] = (ipm_r + mpm[1] + 1) >> 1
+                lst[5] = (lst[4] + ipm_r + 1) >> 1
+                lst[6] = (lst[4] + mpm[1] + 1) >> 1
+                if mpm[0] == IPD_PLN:
+                    seeds = [IPD_BI, IPD_DC, ipm_r]
+                else:
+                    seeds = [IPD_DC if mpm[0] == IPD_BI else IPD_BI,
+                             IPD_PLN, ipm_r]
+                mpm_ext = _fill_from(lst, seeds)
+        else:
+            if ipm_r < 3:
+                lst = [0] * 7 + [IPD_VER, IPD_HOR, IPD_DIA_R, IPD_PLN,
+                                 IPD_DIA_L, IPD_DIA_U, IPD_VER + 4,
+                                 IPD_HOR - 4]
+                lst[0] = mpm[0] + 1 if mpm[0] in (3, 4) else mpm[0] - 2
+                lst[1] = mpm[0] - 1 if mpm[0] == IPD_CNT - 2 else mpm[0] + 2
+                lst[2] = mpm[1] + 1 if mpm[1] == 4 else mpm[1] - 2
+                lst[3] = (mpm[1] - 1 if mpm[1] in (IPD_CNT - 1, IPD_CNT - 2)
+                          else mpm[1] + 2)
+                lst[4] = (mpm[0] + mpm[1] + 1) >> 1
+                lst[5] = (lst[4] + mpm[0] + 1) >> 1
+                lst[6] = (lst[4] + mpm[1] + 1) >> 1
+                seeds = [ipm_r, IPD_DC if ipm_r == IPD_BI else IPD_BI]
+                mpm_ext = _fill_from(lst, seeds)
+            else:
+                lst = [0] * 8 + [IPD_VER, IPD_HOR, IPD_DIA_R, IPD_PLN,
+                                 IPD_DIA_L, IPD_DIA_U, IPD_VER + 4,
+                                 IPD_HOR - 4]
+                lst[0] = mpm[0] + 1 if mpm[0] in (3, 4) else mpm[0] - 2
+                lst[1] = mpm[0] - 1 if mpm[0] == IPD_CNT - 2 else mpm[0] + 2
+                lst[2] = mpm[1] + 1 if mpm[1] == 4 else mpm[1] - 2
+                lst[3] = (mpm[1] - 1 if mpm[1] in (IPD_CNT - 1, IPD_CNT - 2)
+                          else mpm[1] + 2)
+                lst[4] = ipm_r + 1 if ipm_r in (3, 4) else ipm_r - 2
+                lst[5] = (ipm_r - 1 if ipm_r in (IPD_CNT - 1, IPD_CNT - 2)
+                          else ipm_r + 2)
+                lst[6] = ((mpm[0] + ipm_r + 1) >> 1 if ipm_r < mpm[1]
+                          else (mpm[0] + mpm[1] + 1) >> 1)
+                lst[7] = ((mpm[0] + mpm[1] + 1) >> 1 if ipm_r < mpm[0]
+                          else (mpm[1] + ipm_r + 1) >> 1)
+                mpm_ext = _fill_from(lst, [IPD_BI, IPD_DC, ipm_r])
+    else:
+        if mpm[0] < 3 and mpm[1] < 3:
+            e0 = 0
+            if mpm[0] == IPD_DC:
+                e0 = IPD_PLN if mpm[1] == IPD_BI else IPD_BI
+            elif mpm[0] == IPD_PLN:
+                e0 = IPD_DC
+            mpm_ext = [e0, IPD_VER, IPD_HOR, IPD_DIA_R, IPD_DIA_L,
+                       IPD_DIA_U, IPD_VER + 4, IPD_HOR - 4]
+        elif mpm[0] < 3:
+            if mpm[0] == IPD_PLN:
+                e01 = [IPD_BI, IPD_DC]
+            else:
+                e01 = [IPD_DC if mpm[0] == IPD_BI else IPD_BI, IPD_PLN]
+            if mpm[1] > IPD_CNT - 3:
+                rest = [IPD_CNT - 2 if mpm[1] == IPD_CNT - 1 else IPD_CNT - 1,
+                        IPD_CNT - 3, IPD_CNT - 4, IPD_CNT - 5, IPD_HOR,
+                        IPD_DIA_R]
+            elif mpm[1] < 5:
+                rest = [4 if mpm[1] == 3 else 3, 5, 6, 7, IPD_VER, IPD_DIA_R]
+            else:
+                rest = [mpm[1] + 2, mpm[1] - 2, mpm[1] + 1, mpm[1] - 1]
+                if 13 <= mpm[1] <= 23:
+                    rest += [mpm[1] - 5, mpm[1] + 5]
+                else:
+                    rest += [mpm[1] - 5 if mpm[1] > 23 else mpm[1] + 5,
+                             mpm[1] - 10 if mpm[1] > 23 else mpm[1] + 10]
+            mpm_ext = e01 + rest
+        else:
+            lst = [0] * 7 + [IPD_VER, IPD_HOR, IPD_DIA_R, IPD_PLN, IPD_DIA_L,
+                             IPD_DIA_U, IPD_VER + 4, IPD_HOR - 4]
+            lst[0] = mpm[0] + 1 if mpm[0] in (3, 4) else mpm[0] - 2
+            lst[1] = mpm[0] - 1 if mpm[0] == IPD_CNT - 2 else mpm[0] + 2
+            lst[2] = mpm[1] + 1 if mpm[1] == 4 else mpm[1] - 2
+            lst[3] = (mpm[1] - 1 if mpm[1] in (IPD_CNT - 1, IPD_CNT - 2)
+                      else mpm[1] + 2)
+            lst[4] = (mpm[0] + mpm[1] + 1) >> 1
+            lst[5] = (lst[4] + mpm[0] + 1) >> 1
+            lst[6] = (lst[4] + mpm[1] + 1) >> 1
+            mpm_ext = _fill_from(lst, [IPD_BI, IPD_DC])
+
+    included = [0] * IPD_CNT
+    pims = []
+    for v in mpm:
+        if not included[v]:
+            included[v] = 1
+            pims.append(v)
+    for v in mpm_ext[:8]:
+        if not included[v]:
+            included[v] = 1
+            pims.append(v)
+    for v in T.INTRA_MODE_LIST:
+        if not included[v]:
+            included[v] = 1
+            pims.append(v)
+    assert len(pims) == IPD_CNT
+    return mpm, mpm_ext, pims
+
+
 # avail bits (subset used by baseline)
 AVAIL_UP = 1 << 0
 AVAIL_LE = 1 << 1
@@ -81,14 +291,15 @@ AVAIL_RI_UP = 1 << 7
 class EntropyDecoder:
     """Sequential SBAC + syntax parse of one slice (single tile, Baseline)."""
 
-    def __init__(self, sps: Sps, pps: Pps, chroma_qp_tbl: np.ndarray):
+    def __init__(self, sps: Sps, pps: Pps, chroma_qp_tbl: np.ndarray,
+                 log2_ctu: int = T.CTU_LOG2_B):
         self.sps = sps
         self.pps = pps
         self.chroma_qp_tbl = chroma_qp_tbl
         self.w = sps.pic_width_in_luma_samples
         self.h = sps.pic_height_in_luma_samples
-        self.ctu = T.CTU_SIZE_B
-        self.log2_ctu = T.CTU_LOG2_B
+        self.ctu = 1 << log2_ctu
+        self.log2_ctu = log2_ctu
         self.w_lcu = (self.w + self.ctu - 1) // self.ctu
         self.h_lcu = (self.h + self.ctu - 1) // self.ctu
         self.w_scu = (self.w + 3) >> 2
@@ -189,6 +400,7 @@ class EntropyDecoder:
         refi = [T.REFI_INVALID, T.REFI_INVALID]
         inter_dir = 0
         ipm = 0
+        ipm_c = None
         cbf = [0, 0, 0]
 
         if sh.slice_type != T.SLICE_I:
@@ -223,6 +435,13 @@ class EntropyDecoder:
                             refi[lidx] = self._read_refi(self.num_refp[lidx])
                             mvp_idx[lidx] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
                             mvd[lidx] = self._read_mvd()
+            elif sps.tool_eipd:
+                mpm, mpm_ext, pims = get_mpm_main(
+                    x_scu, y_scu, cuw, cuh, fs.map_if, fs.map_ipm,
+                    self.cod_eco, self.w_scu)
+                ipm = self._read_intra_dir_main(mpm, mpm_ext, pims)
+                if sps.chroma_format_idc != 0:
+                    ipm_c = self._read_intra_dir_c(ipm)
             else:
                 ipm = self._read_intra_dir(x_scu, y_scu)
 
@@ -237,6 +456,7 @@ class EntropyDecoder:
         fs.cu_log2.append(log2_cuw)
         fs.cu_pred_mode.append(pred_mode)
         fs.cu_ipm.append(ipm)
+        fs.cu_ipm_c.append(ipm if ipm_c is None else ipm_c)
         fs.cu_qp.append(qp)
         fs.cu_qp_u.append(qp_u)
         fs.cu_qp_v.append(qp_v)
@@ -331,6 +551,33 @@ class EntropyDecoder:
         for i in range(T.IPD_CNT_B):
             if t0 == mpm[i]:
                 ipm = i
+        return ipm
+
+    def _read_intra_dir_main(self, mpm, mpm_ext, pims):
+        """EIPD luma mode (ref: src_base/xevd_eco.c:795-879)."""
+        sbac = self.sbac
+        ctx = sbac.ctx
+        if sbac.decode_bin(ctx.intra_luma_pred_mpm_flag, 0):
+            return mpm[sbac.decode_bin(ctx.intra_luma_pred_mpm_idx, 0)]
+        if sbac.decode_bin_ep():
+            return mpm_ext[sbac.decode_bins_ep(3)]
+        # truncated binary over IPD_CNT - 10 = 23 symbols
+        # (ref: src_base/xevd_eco.c:795-814, threshold 4, val 16, b 7)
+        rem = sbac.decode_bins_ep(4)
+        if rem >= 16 - 7:
+            rem = (rem << 1) + sbac.decode_bin_ep() - (16 - 7)
+        return pims[T.INTRA_MPM_NUM + T.INTRA_PIMS_NUM + rem]
+
+    def _read_intra_dir_c(self, ipm_l):
+        """EIPD chroma mode (ref: src_base/xevd_eco.c:881-910)."""
+        sbac = self.sbac
+        conv = {T.IPD_VER: T.IPD_VER_C, T.IPD_HOR: T.IPD_HOR_C,
+                T.IPD_DC: T.IPD_DC_C, T.IPD_BI: T.IPD_BI_C}.get(ipm_l)
+        ipm = 0
+        if sbac.decode_bin(sbac.ctx.intra_chroma_pred_mode, 0) == 0:
+            ipm = sbac.read_unary_sym_ep(T.IPD_CHROMA_CNT - 1) + 1
+            if conv is not None and ipm >= conv:
+                ipm += 1
         return ipm
 
     # -- coefficients ---------------------------------------------------

@@ -37,10 +37,38 @@ NUM_CTX_CC_LEVEL = 24
 NUM_CTX_SPLIT_CU_FLAG = 1
 NUM_CTX_DELTA_QP = 1
 
+# Main-profile context counts (ref: src_base/xevd_def.h:441-507)
+NUM_CTX_LAST_SIG_COEFF = 21
+NUM_CTX_SIG_COEFF_FLAG = 47
+NUM_CTX_GTX = 18
+NUM_CTX_MMVD_FLAG = 1
+NUM_CTX_MMVD_GROUP_IDX = 2
+NUM_CTX_MMVD_MERGE_IDX = 3
+NUM_CTX_MMVD_DIST_IDX = 7
+NUM_CTX_MMVD_DIRECTION_IDX = 2
+NUM_CTX_AFFINE_MVD_FLAG = 2
+NUM_CTX_IBC_FLAG = 2
+NUM_CTX_BTT_SPLIT_FLAG = 15
+NUM_CTX_BTT_SPLIT_DIR = 5
+NUM_CTX_BTT_SPLIT_TYPE = 1
+NUM_CTX_SUCO_FLAG = 14
+NUM_CTX_MODE_CONS = 3
+NUM_CTX_AMVR_IDX = 4
+NUM_CTX_AFFINE_FLAG = 2
+NUM_CTX_AFFINE_MODE = 1
+NUM_CTX_AFFINE_MRG = 5
+NUM_CTX_AFFINE_MVP_IDX = 1
+NUM_CTX_ALF_CTB_FLAG = 1
+NUM_CTX_ATS_MODE_FLAG = 1
+NUM_CTX_ATS_INTER_FLAG = 2
+NUM_CTX_ATS_INTER_QUAD_FLAG = 1
+NUM_CTX_ATS_INTER_HOR_FLAG = 3
+NUM_CTX_ATS_INTER_POS_FLAG = 1
+
 
 class SbacCtx:
-    """Adaptive context models for the Baseline syntax
-    (ref: src_base/xevd_eco.c:743-793)."""
+    """Adaptive context models, Baseline + Main
+    (ref: src_base/xevd_eco.c:743-793, src_main/xevdm_eco.c:986-1118)."""
 
     FIELDS = [
         ("skip_flag", NUM_CTX_SKIP_FLAG),
@@ -66,6 +94,34 @@ class SbacCtx:
         ("level", NUM_CTX_CC_LEVEL),
         ("split_cu_flag", NUM_CTX_SPLIT_CU_FLAG),
         ("delta_qp", NUM_CTX_DELTA_QP),
+        # -- Main-profile models --
+        ("last_sig_coeff_x_prefix", NUM_CTX_LAST_SIG_COEFF),
+        ("last_sig_coeff_y_prefix", NUM_CTX_LAST_SIG_COEFF),
+        ("sig_coeff_flag", NUM_CTX_SIG_COEFF_FLAG),
+        ("coeff_abs_level_greaterAB_flag", NUM_CTX_GTX),
+        ("mmvd_flag", NUM_CTX_MMVD_FLAG),
+        ("mmvd_merge_idx", NUM_CTX_MMVD_MERGE_IDX),
+        ("mmvd_distance_idx", NUM_CTX_MMVD_DIST_IDX),
+        ("mmvd_direction_idx", NUM_CTX_MMVD_DIRECTION_IDX),
+        ("mmvd_group_idx", NUM_CTX_MMVD_GROUP_IDX),
+        ("mode_cons", NUM_CTX_MODE_CONS),
+        ("affine_mvp_idx", NUM_CTX_AFFINE_MVP_IDX),
+        ("mvr_idx", NUM_CTX_AMVR_IDX),
+        ("btt_split_flag", NUM_CTX_BTT_SPLIT_FLAG),
+        ("btt_split_dir", NUM_CTX_BTT_SPLIT_DIR),
+        ("btt_split_type", NUM_CTX_BTT_SPLIT_TYPE),
+        ("suco_flag", NUM_CTX_SUCO_FLAG),
+        ("alf_ctb_flag", NUM_CTX_ALF_CTB_FLAG),
+        ("affine_flag", NUM_CTX_AFFINE_FLAG),
+        ("affine_mode", NUM_CTX_AFFINE_MODE),
+        ("affine_mrg", NUM_CTX_AFFINE_MRG),
+        ("affine_mvd_flag", NUM_CTX_AFFINE_MVD_FLAG),
+        ("ibc_flag", NUM_CTX_IBC_FLAG),
+        ("ats_mode", NUM_CTX_ATS_MODE_FLAG),
+        ("ats_cu_inter_flag", NUM_CTX_ATS_INTER_FLAG),
+        ("ats_cu_inter_quad_flag", NUM_CTX_ATS_INTER_QUAD_FLAG),
+        ("ats_cu_inter_hor_flag", NUM_CTX_ATS_INTER_HOR_FLAG),
+        ("ats_cu_inter_pos_flag", NUM_CTX_ATS_INTER_POS_FLAG),
     ]
 
     def __init__(self):

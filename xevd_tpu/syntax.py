@@ -44,6 +44,16 @@ class ChromaQpTable:
 
 
 @dataclass
+class RefPicListStruct:
+    """One candidate reference-picture list (ref: src_main/xevdm_eco.c:1820-1845)."""
+    poc: int = 0
+    tid: int = 0
+    ref_pic_num: int = 0
+    ref_pic_active_num: int = 0
+    ref_pics: list = field(default_factory=list)   # signed delta POCs
+
+
+@dataclass
 class Sps:
     sps_seq_parameter_set_id: int = 0
     profile_idc: int = 0
@@ -56,11 +66,27 @@ class Sps:
     bit_depth_luma_minus8: int = 0
     bit_depth_chroma_minus8: int = 0
     sps_btt_flag: int = 0
+    log2_ctu_size_minus5: int = 0
+    log2_min_cb_size_minus2: int = 0
+    log2_diff_ctu_max_14_cb_size: int = 0
+    log2_diff_ctu_max_tt_cb_size: int = 0
+    log2_diff_min_cb_min_tt_cb_size_minus2: int = 0
     sps_suco_flag: int = 0
+    log2_diff_ctu_size_max_suco_cb_size: int = 0
+    log2_diff_max_suco_min_suco_cb_size: int = 0
     tool_admvp: int = 0
+    tool_affine: int = 0
+    tool_amvr: int = 0
+    tool_dmvr: int = 0
+    tool_mmvd: int = 0
+    tool_hmvp: int = 0
     tool_eipd: int = 0
+    ibc_flag: int = 0
+    ibc_log_max_size: int = 0
     tool_cm_init: int = 0
+    tool_adcc: int = 0
     tool_iqt: int = 0
+    tool_ats: int = 0
     tool_addb: int = 0
     tool_alf: int = 0
     tool_htdf: int = 0
@@ -68,9 +94,15 @@ class Sps:
     tool_pocs: int = 0
     dquant_flag: int = 0
     tool_dra: int = 0
+    log2_max_pic_order_cnt_lsb_minus4: int = 0
     log2_sub_gop_length: int = 0
     log2_ref_pic_gap_length: int = 0
     max_num_ref_pics: int = 0
+    sps_max_dec_pic_buffering_minus1: int = 0
+    long_term_ref_pics_flag: int = 0
+    rpl1_same_as_rpl0_flag: int = 0
+    rpls_l0: list = field(default_factory=list)
+    rpls_l1: list = field(default_factory=list)
     picture_cropping_flag: int = 0
     picture_crop_left_offset: int = 0
     picture_crop_right_offset: int = 0
@@ -89,14 +121,39 @@ class Sps:
     def bit_depth_chroma(self):
         return self.bit_depth_chroma_minus8 + 8
 
+    @property
+    def is_main(self):
+        return self.profile_idc in (1, 3)
+
+
+def parse_rlp(bs: BitReader) -> RefPicListStruct:
+    """ref_pic_list_struct (ref: src_main/xevdm_eco.c:1820-1845)."""
+    rpl = RefPicListStruct()
+    rpl.ref_pic_num = bs.read_ue()
+    if rpl.ref_pic_num > 0:
+        delta = bs.read_ue()
+        if delta != 0:
+            if bs.read1() == 0:  # strp_entry_sign_flag: 1 => positive
+                delta = -delta
+        rpl.ref_pics.append(delta)
+    for _ in range(1, rpl.ref_pic_num):
+        delta = bs.read_ue()
+        if delta != 0:
+            if bs.read1() == 0:
+                delta = -delta
+        rpl.ref_pics.append(rpl.ref_pics[-1] + delta)
+    return rpl
+
 
 def parse_sps(bs: BitReader) -> Sps:
-    """Baseline SPS (ref: src_base/xevd_eco.c:1305-1394)."""
+    """Unified SPS parser: Baseline flat reads plus Main-profile conditional
+    fields (ref: src_base/xevd_eco.c:1305-1394, src_main/xevdm_eco.c:1847-2004)."""
     sps = Sps()
     sps.sps_seq_parameter_set_id = bs.read_ue()
     sps.profile_idc = bs.read(8)
     if sps.profile_idc not in (0, 1, 2, 3):
         raise MalformedBitstream(f"bad profile_idc {sps.profile_idc}")
+    main = sps.is_main
     sps.level_idc = bs.read(8)
     sps.toolset_idc_h = bs.read(32)
     sps.toolset_idc_l = bs.read(32)
@@ -106,11 +163,34 @@ def parse_sps(bs: BitReader) -> Sps:
     sps.bit_depth_luma_minus8 = bs.read_ue()
     sps.bit_depth_chroma_minus8 = bs.read_ue()
     sps.sps_btt_flag = bs.read1()
+    if main and sps.sps_btt_flag:
+        sps.log2_ctu_size_minus5 = bs.read_ue()
+        sps.log2_min_cb_size_minus2 = bs.read_ue()
+        sps.log2_diff_ctu_max_14_cb_size = bs.read_ue()
+        sps.log2_diff_ctu_max_tt_cb_size = bs.read_ue()
+        sps.log2_diff_min_cb_min_tt_cb_size_minus2 = bs.read_ue()
     sps.sps_suco_flag = bs.read1()
+    if main and sps.sps_suco_flag:
+        sps.log2_diff_ctu_size_max_suco_cb_size = bs.read_ue()
+        sps.log2_diff_max_suco_min_suco_cb_size = bs.read_ue()
     sps.tool_admvp = bs.read1()
+    if main and sps.tool_admvp:
+        sps.tool_affine = bs.read1()
+        sps.tool_amvr = bs.read1()
+        sps.tool_dmvr = bs.read1()
+        sps.tool_mmvd = bs.read1()
+        sps.tool_hmvp = bs.read1()
     sps.tool_eipd = bs.read1()
+    if main and sps.tool_eipd:
+        sps.ibc_flag = bs.read1()
+        if sps.ibc_flag:
+            sps.ibc_log_max_size = bs.read_ue() + 2
     sps.tool_cm_init = bs.read1()
+    if main and sps.tool_cm_init:
+        sps.tool_adcc = bs.read1()
     sps.tool_iqt = bs.read1()
+    if main and sps.tool_iqt:
+        sps.tool_ats = bs.read1()
     sps.tool_addb = bs.read1()
     sps.tool_alf = bs.read1()
     sps.tool_htdf = bs.read1()
@@ -118,12 +198,27 @@ def parse_sps(bs: BitReader) -> Sps:
     sps.tool_pocs = bs.read1()
     sps.dquant_flag = bs.read1()
     sps.tool_dra = bs.read1()
+    if main and sps.tool_pocs:
+        sps.log2_max_pic_order_cnt_lsb_minus4 = bs.read_ue()
     if not sps.tool_rpl or not sps.tool_pocs:
         sps.log2_sub_gop_length = bs.read_ue()
         if sps.log2_sub_gop_length == 0:
             sps.log2_ref_pic_gap_length = bs.read_ue()
     if not sps.tool_rpl:
         sps.max_num_ref_pics = bs.read_ue()
+    elif main:
+        sps.sps_max_dec_pic_buffering_minus1 = bs.read_ue()
+        sps.long_term_ref_pics_flag = bs.read1()
+        sps.rpl1_same_as_rpl0_flag = bs.read1()
+        n0 = bs.read_ue()
+        for _ in range(n0):
+            sps.rpls_l0.append(parse_rlp(bs))
+        if not sps.rpl1_same_as_rpl0_flag:
+            n1 = bs.read_ue()
+            for _ in range(n1):
+                sps.rpls_l1.append(parse_rlp(bs))
+        else:
+            raise MalformedBitstream("rpl1_same_as_rpl0 unsupported (matches reference)")
     sps.picture_cropping_flag = bs.read1()
     if sps.picture_cropping_flag:
         sps.picture_crop_left_offset = bs.read_ue()
@@ -217,6 +312,7 @@ class Pps:
     tile_id_len_minus1: int = 0
     explicit_tile_id_flag: int = 0
     pic_dra_enabled_flag: int = 0
+    pic_dra_aps_id: int = 0
     arbitrary_slice_present_flag: int = 0
     constrained_intra_pred_flag: int = 0
     cu_qp_delta_enabled_flag: int = 0
@@ -224,11 +320,20 @@ class Pps:
     # tile grid (single-tile defaults; multi-tile for Main)
     num_tile_columns_minus1: int = 0
     num_tile_rows_minus1: int = 0
+    uniform_tile_spacing_flag: int = 1
+    tile_column_width_minus1: list = field(default_factory=list)
+    tile_row_height_minus1: list = field(default_factory=list)
+    loop_filter_across_tiles_enabled_flag: int = 0
     tile_offset_lens_minus1: int = 0
+    tile_id_val: list = field(default_factory=list)
+
+
+APS_MAX_NUM_IN_BITS = 5
 
 
 def parse_pps(bs: BitReader, sps: Sps) -> Pps:
-    """Baseline PPS (ref: src_base/xevd_eco.c:1396-1432)."""
+    """Unified PPS (ref: src_base/xevd_eco.c:1396-1432,
+    src_main/xevdm_eco.c:2006-2081)."""
     pps = Pps()
     pps.pps_pic_parameter_set_id = bs.read_ue()
     pps.pps_seq_parameter_set_id = bs.read_ue()
@@ -237,9 +342,28 @@ def parse_pps(bs: BitReader, sps: Sps) -> Pps:
     pps.additional_lt_poc_lsb_len = bs.read_ue()
     pps.rpl1_idx_present_flag = bs.read1()
     pps.single_tile_in_pic_flag = bs.read1()
+    if sps.is_main and not pps.single_tile_in_pic_flag:
+        pps.num_tile_columns_minus1 = bs.read_ue()
+        pps.num_tile_rows_minus1 = bs.read_ue()
+        pps.uniform_tile_spacing_flag = bs.read1()
+        if not pps.uniform_tile_spacing_flag:
+            for _ in range(pps.num_tile_columns_minus1):
+                pps.tile_column_width_minus1.append(bs.read_ue())
+            for _ in range(pps.num_tile_rows_minus1):
+                pps.tile_row_height_minus1.append(bs.read_ue())
+        pps.loop_filter_across_tiles_enabled_flag = bs.read1()
+        pps.tile_offset_lens_minus1 = bs.read_ue()
     pps.tile_id_len_minus1 = bs.read_ue()
     pps.explicit_tile_id_flag = bs.read1()
+    if sps.is_main and pps.explicit_tile_id_flag:
+        for _ in range(pps.num_tile_rows_minus1 + 1):
+            row = []
+            for _ in range(pps.num_tile_columns_minus1 + 1):
+                row.append(bs.read(pps.tile_id_len_minus1 + 1))
+            pps.tile_id_val.append(row)
     pps.pic_dra_enabled_flag = bs.read1()
+    if sps.is_main and pps.pic_dra_enabled_flag:
+        pps.pic_dra_aps_id = bs.read(APS_MAX_NUM_IN_BITS)
     pps.arbitrary_slice_present_flag = bs.read1()
     pps.constrained_intra_pred_flag = bs.read1()
     pps.cu_qp_delta_enabled_flag = bs.read1()
@@ -270,10 +394,35 @@ class SliceHeader:
     qp_v: int = 17
     entry_point_offset_minus1: list = field(default_factory=list)
     poc_lsb: int = 0
+    num_tiles_in_slice: int = 1
+    # -- Main-profile fields (ref: src_main/xevdm_eco.c:2510-2809) --
+    mmvd_group_enable_flag: int = 0
+    alf_on: int = 0
+    aps_id_y: int = -1
+    aps_id_ch: int = -1
+    aps_id_ch2: int = -1
+    alf_chroma_idc: int = 0
+    alf_is_ctb_alf_on: int = 0
+    alf_chroma_map_signalled: int = 0
+    alf_chroma2_map_signalled: int = 0
+    chroma_alf_enabled_flag: int = 0
+    chroma_alf_enabled2_flag: int = 0
+    ref_pic_list_sps_flag: list = field(default_factory=lambda: [0, 0])
+    rpl_l0_idx: int = -1
+    rpl_l1_idx: int = -1
+    rpl_l0: RefPicListStruct = None
+    rpl_l1: RefPicListStruct = None
+    temporal_mvp_asigned_flag: int = 0
+    collocated_from_list_idx: int = 1   # SLICE_B default L1? set below
+    collocated_mvp_source_list_idx: int = 0
+    collocated_from_ref_idx: int = 0
+    sh_deblock_alpha_offset: int = 0
+    sh_deblock_beta_offset: int = 0
 
 
 def parse_sh(bs: BitReader, sps: Sps, pps: Pps, nut: int) -> SliceHeader:
-    """Baseline slice header (ref: src_base/xevd_eco.c:1434-1580)."""
+    """Unified slice header (ref: src_base/xevd_eco.c:1434-1580,
+    src_main/xevdm_eco.c:2510-2809)."""
     sh = SliceHeader()
     sh.slice_pic_parameter_set_id = bs.read_ue()
 
@@ -308,8 +457,61 @@ def parse_sh(bs: BitReader, sps: Sps, pps: Pps, nut: int) -> SliceHeader:
             delta += w_tile
         num_tiles_in_slice = ((delta % w_tile) + 1) * ((delta // w_tile) + 1)
 
+    sh.num_tiles_in_slice = num_tiles_in_slice
+
     if nut == T.NUT_IDR:
         sh.no_output_of_prior_pics_flag = bs.read1()
+
+    if sps.tool_mmvd and sh.slice_type in (T.SLICE_B, T.SLICE_P):
+        sh.mmvd_group_enable_flag = bs.read1()
+
+    if sps.tool_alf:
+        sh.alf_on = bs.read1()
+        if sh.alf_on:
+            sh.aps_id_y = bs.read(5)
+            sh.alf_is_ctb_alf_on = bs.read1()   # alf_sh_param map flag
+            sh.alf_chroma_idc = bs.read(2)
+            sh.chroma_alf_enabled_flag = bool(sh.alf_chroma_idc & 1)
+            sh.chroma_alf_enabled2_flag = bool((sh.alf_chroma_idc >> 1) & 1)
+            if sh.alf_chroma_idc and sps.chroma_format_idc in (1, 2):
+                sh.aps_id_ch = bs.read(5)
+        if sps.chroma_format_idc == 3 and sh.chroma_alf_enabled_flag:
+            sh.aps_id_ch = bs.read(5)
+            sh.alf_chroma_map_signalled = bs.read1()
+        if sps.chroma_format_idc == 3 and sh.chroma_alf_enabled2_flag:
+            sh.aps_id_ch2 = bs.read(5)
+            sh.alf_chroma2_map_signalled = bs.read1()
+
+    if nut != T.NUT_IDR:
+        if sps.tool_pocs:
+            sh.poc_lsb = bs.read(sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+        if sps.tool_rpl:
+            sh.ref_pic_list_sps_flag[0] = bs.read1() if sps.rpls_l0 else 0
+            if sh.ref_pic_list_sps_flag[0]:
+                if len(sps.rpls_l0) > 1:
+                    sh.rpl_l0_idx = bs.read_ue()
+                else:
+                    sh.rpl_l0_idx = 0
+                import copy
+                sh.rpl_l0 = copy.deepcopy(sps.rpls_l0[sh.rpl_l0_idx])
+            else:
+                sh.rpl_l0 = parse_rlp(bs)
+            if pps.rpl1_idx_present_flag:
+                sh.ref_pic_list_sps_flag[1] = bs.read1() if sps.rpls_l1 else 0
+            else:
+                sh.ref_pic_list_sps_flag[1] = sh.ref_pic_list_sps_flag[0]
+            if sh.ref_pic_list_sps_flag[1]:
+                if pps.rpl1_idx_present_flag:
+                    if len(sps.rpls_l1) > 1:
+                        sh.rpl_l1_idx = bs.read_ue()
+                    else:
+                        sh.rpl_l1_idx = 0
+                else:
+                    sh.rpl_l1_idx = sh.rpl_l0_idx
+                import copy
+                sh.rpl_l1 = copy.deepcopy(sps.rpls_l1[sh.rpl_l1_idx])
+            else:
+                sh.rpl_l1 = parse_rlp(bs)
 
     if sh.slice_type != T.SLICE_I:
         sh.num_ref_idx_active_override_flag = bs.read1()
@@ -320,8 +522,23 @@ def parse_sh(bs: BitReader, sps: Sps, pps: Pps, nut: int) -> SliceHeader:
         else:
             sh.ref_pic_active_num[0] = pps.num_ref_idx_default_active_minus1[0] + 1
             sh.ref_pic_active_num[1] = pps.num_ref_idx_default_active_minus1[1] + 1
+        if sh.rpl_l0 is not None:
+            sh.rpl_l0.ref_pic_active_num = sh.ref_pic_active_num[0]
+        if sh.rpl_l1 is not None:
+            sh.rpl_l1.ref_pic_active_num = sh.ref_pic_active_num[1]
+
+        if sps.tool_admvp:
+            sh.temporal_mvp_asigned_flag = bs.read1()
+            if sh.temporal_mvp_asigned_flag:
+                if sh.slice_type == T.SLICE_B:
+                    sh.collocated_from_list_idx = bs.read1()
+                    sh.collocated_mvp_source_list_idx = bs.read1()
+                sh.collocated_from_ref_idx = bs.read1()
 
     sh.deblocking_filter_on = bs.read1()
+    if sh.deblocking_filter_on and sps.tool_addb:
+        sh.sh_deblock_alpha_offset = bs.read_se()
+        sh.sh_deblock_beta_offset = bs.read_se()
     sh.qp = bs.read(6)
     if sh.qp < 0 or sh.qp > 51:
         raise MalformedBitstream("slice qp out of range")

@@ -47,6 +47,58 @@ IPD_UL_B = 3
 IPD_UR_B = 4
 IPD_CNT_B = 5
 
+# Intra prediction modes, Main EIPD (ref: src_base/xevd_def.h:318-355)
+IPD_DC = 0
+IPD_PLN = 1
+IPD_BI = 2
+IPD_VER = 12
+IPD_HOR = 24
+IPD_DIA_R = 18
+IPD_DIA_L = 6
+IPD_DIA_U = 30
+IPD_CNT = 33
+IPD_DM_C = 0
+IPD_BI_C = 1
+IPD_DC_C = 2
+IPD_HOR_C = 3
+IPD_VER_C = 4
+IPD_CHROMA_CNT = 5
+INTRA_MPM_NUM = 2
+INTRA_PIMS_NUM = 8
+
+# Angular prediction {dx/dy, dy/dx} in Q10/Q5 fixed point
+# (ref: src_base/xevd_tbl.c:294-305)
+IPRED_DXDY = np.array([
+    [0, 0],
+    [0, 0], [0, 0], [2816, 372], [2048, 512], [1408, 744],
+    [1024, 1024], [744, 1408], [512, 2048], [372, 2816], [256, 4096],
+    [128, 8192], [0, 0], [128, 8192], [256, 4096], [372, 2816],
+    [512, 2048], [744, 1408], [1024, 1024], [1408, 744], [2048, 512],
+    [2816, 372], [4096, 256], [8192, 128], [0, 0], [8192, 128],
+    [4096, 256], [2816, 372], [2048, 512], [1408, 744], [1024, 1024],
+    [744, 1408], [512, 2048],
+], dtype=np.int64)
+
+# 4-tap ADI interpolation filter (ref: src_base/xevd_tbl.c:257-292)
+IPRED_ADI = np.array([[32 - i, 64 - i, 32 + i, i] for i in range(32)],
+                     dtype=np.int64)
+
+# Default intra mode priority list (ref: src_main/xevdm_ipred.c:307-318)
+INTRA_MODE_LIST = [
+    IPD_DC, IPD_BI, IPD_VER, IPD_PLN, IPD_HOR,
+    IPD_VER - 1, IPD_VER + 1, IPD_VER - 2, IPD_VER + 2, IPD_VER - 3,
+    IPD_VER + 3,
+    IPD_HOR - 1, IPD_HOR + 1, IPD_HOR - 2, IPD_HOR + 2, IPD_HOR - 3,
+    IPD_HOR + 3,
+    IPD_DIA_R,
+    IPD_DIA_L, IPD_DIA_L - 3, IPD_DIA_L - 2, IPD_DIA_L - 1,
+    IPD_DIA_U, IPD_DIA_U + 1, IPD_DIA_U + 2,
+    IPD_VER + 5, IPD_VER + 4,
+    IPD_HOR - 4, IPD_HOR - 5,
+    IPD_VER - 5, IPD_VER - 4,
+    IPD_HOR + 5, IPD_HOR + 4,
+]
+
 REFP_NUM = 2
 MV_D = 2
 REFI_INVALID = -1
