@@ -29,11 +29,12 @@ from xevd_tpu.sbac import SbacCtx
 class SbacEnc:
     """Mirror of the SBAC decoder; see xevd_tpu/sbac.py."""
 
-    def __init__(self):
+    def __init__(self, slice_type=0, slice_qp=0, cm_init=False):
         self.range = 16384
         self.low = 0
         self.shifts = 0
         self.ctx = SbacCtx()
+        self.ctx.reset(slice_type, slice_qp, cm_init)
 
     def encode_bin(self, model: list, i: int, bin_: int):
         m = model[i]
@@ -338,11 +339,12 @@ class FrameEncoder:
         self.rng = rng
         self.num_refp = num_refp
         self.tools = tools or Tools()
-        self.sb = SbacEnc()
+        self.sb = SbacEnc(slice_type, qp, bool(self.tools.cm_init))
         self.w_scu = (w + 3) >> 2
         self.h_scu = (h + 3) >> 2
         self.cod = np.zeros((self.h_scu, self.w_scu), np.uint8)
         self.map_if = np.zeros((self.h_scu, self.w_scu), np.uint8)
+        self.map_skip = np.zeros((self.h_scu, self.w_scu), np.uint8)
         self.map_ipm = np.full((self.h_scu, self.w_scu), -1, np.int8)
         self.map_mv = np.zeros((self.h_scu, self.w_scu, 2, 2), np.int16)
         self.map_refi = np.full((self.h_scu, self.w_scu, 2), -1, np.int8)
@@ -393,10 +395,16 @@ class FrameEncoder:
 
         is_inter_slice = self.slice_type != T.SLICE_I
         is_b = self.slice_type == T.SLICE_B
+        ctx_skip = ctx_pred = 0
+        if self.tools.cm_init and is_inter_slice:
+            from xevd_tpu.frame import get_ctx_some_flags
+            ctx_skip, ctx_pred = get_ctx_some_flags(
+                x_scu, y_scu, scuw, scuw, self.w_scu, self.map_skip,
+                self.map_if, self.cod)
         skip = 0
         if is_inter_slice:
             skip = int(rng.random() < 0.3)
-            sb.encode_bin(ctx.skip_flag, 0, skip)
+            sb.encode_bin(ctx.skip_flag, ctx_skip, skip)
 
         if skip:
             mvp_idx = int(rng.integers(0, 4))
@@ -417,7 +425,7 @@ class FrameEncoder:
         intra = 1
         if is_inter_slice:
             intra = int(rng.random() < 0.35)
-            sb.encode_bin(ctx.pred_mode, 0, intra)
+            sb.encode_bin(ctx.pred_mode, ctx_pred, intra)
 
         if not intra:
             direct = 0
@@ -594,13 +602,19 @@ class FrameEncoder:
             replace=False))
         sb = self.sb
         ctx = sb.ctx
-        t0 = 0 if ch_type == 0 else 2
+        cm = bool(self.tools.cm_init)
         ctx_last = 0 if ch_type == 0 else 1
         prev = -1
+        prev_level = 6
         for j, pos in enumerate(nnz_positions):
+            if cm:  # ref: src_main/xevdm_eco.c:319
+                t0 = (min(prev_level - 1, 5) << 1) + (0 if ch_type == 0 else 12)
+            else:
+                t0 = 0 if ch_type == 0 else 2
             run = pos - prev - 1
             sb.unary(ctx.run, t0, 2, run)
             level = int(rng.integers(1, 24))
+            prev_level = level
             sb.unary(ctx.level, t0, 2, level - 1)
             sb.encode_bin_ep(int(rng.random() < 0.5))
             prev = pos
@@ -634,6 +648,7 @@ class FrameEncoder:
         ys = slice(y_scu, y_scu + scuw)
         xs = slice(x_scu, x_scu + scuw)
         self.map_if[ys, xs] = 0
+        self.map_skip[ys, xs] = 1 if skip else 0
         self.map_refi[ys, xs, 0] = refi[0]
         self.map_refi[ys, xs, 1] = refi[1]
         self.map_mv[ys, xs] = np.asarray(mv, np.int16)
@@ -643,6 +658,7 @@ class FrameEncoder:
         ys = slice(y_scu, y_scu + scuw)
         xs = slice(x_scu, x_scu + scuw)
         self.map_if[ys, xs] = 1
+        self.map_skip[ys, xs] = 0
         self.map_ipm[ys, xs] = ipm
         self.map_refi[ys, xs] = -1
         self.map_mv[ys, xs] = 0

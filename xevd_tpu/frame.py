@@ -68,6 +68,28 @@ class FrameSyntax:
         return len(self.cu_x)
 
 
+def get_ctx_some_flags(x_scu, y_scu, scuw, scuh, w_scu, map_skip, map_if,
+                       cod):
+    """Neighbor-sum context for skip_flag / pred_mode under CM_INIT
+    (ref: src_main/xevdm_util.c:1729-1830).  Neighbors: above at the CU's
+    top-left, left and right at the CU's bottom row; only entropy-coded
+    SCUs count.  Returns (ctx_skip, ctx_pred) clipped to model counts."""
+    from .sbac import NUM_CTX_PRED_MODE, NUM_CTX_SKIP_FLAG
+    yb = y_scu + scuh - 1
+    nbrs = []
+    if y_scu > 0 and cod[y_scu - 1, x_scu]:
+        nbrs.append((y_scu - 1, x_scu))
+    if x_scu > 0 and cod[yb, x_scu - 1]:
+        nbrs.append((yb, x_scu - 1))
+    if x_scu + scuw < w_scu and cod[yb, x_scu + scuw]:
+        nbrs.append((yb, x_scu + scuw))
+    if not nbrs:
+        return 0, 0
+    cs = sum(int(map_skip[p]) for p in nbrs)
+    cp = sum(int(map_if[p]) for p in nbrs)
+    return (min(cs, NUM_CTX_SKIP_FLAG - 1), min(cp, NUM_CTX_PRED_MODE - 1))
+
+
 def get_mpm_main(x_scu, y_scu, cuw, cuh, map_if, map_ipm, cod, w_scu):
     """EIPD MPM / extended-MPM / priority-list derivation
     (ref: src_main/xevdm_ipred.c:320-769).  Returns (mpm[2], mpm_ext[8],
@@ -336,7 +358,8 @@ class EntropyDecoder:
         self.qp_prev_eco = sh.qp
 
         sbac = Sbac(bs)
-        sbac.reset(bs)
+        sbac.reset(bs, sh.slice_type, sh.qp,
+                   bool(getattr(sps, "is_main", False) and sps.tool_cm_init))
         self.sbac = sbac
         self.bs = bs
 
@@ -403,8 +426,15 @@ class EntropyDecoder:
         ipm_c = None
         cbf = [0, 0, 0]
 
+        cm_init = bool(getattr(sps, "is_main", False) and sps.tool_cm_init)
+        ctx_skip = ctx_pred = 0
+        if cm_init and sh.slice_type != T.SLICE_I:
+            ctx_skip, ctx_pred = get_ctx_some_flags(
+                x_scu, y_scu, scuw, scuh, self.w_scu, fs.map_skip,
+                fs.map_if, self.cod_eco)
+
         if sh.slice_type != T.SLICE_I:
-            if sbac.decode_bin(ctx.skip_flag, 0):
+            if sbac.decode_bin(ctx.skip_flag, ctx_skip):
                 pred_mode = T.MODE_SKIP
 
         if pred_mode == T.MODE_SKIP:
@@ -416,7 +446,7 @@ class EntropyDecoder:
             # pred mode flag
             if sh.slice_type != T.SLICE_I:
                 pred_mode = (T.MODE_INTRA
-                             if sbac.decode_bin(ctx.pred_mode, 0)
+                             if sbac.decode_bin(ctx.pred_mode, ctx_pred)
                              else T.MODE_INTER)
             else:
                 pred_mode = T.MODE_INTRA
@@ -641,19 +671,27 @@ class EntropyDecoder:
         return dqp
 
     def _read_coef_block(self, log2_w, log2_h, ch_type) -> np.ndarray:
-        """Run/level zigzag (ref: src_base/xevd_eco.c:354-411)."""
+        """Run/level zigzag (ref: src_base/xevd_eco.c:354-411; CM_INIT ctx
+        selection ref: src_main/xevdm_eco.c:303-352)."""
         sbac = self.sbac
         ctx = sbac.ctx
         scanp = T.SCAN_TBL[(log2_w, log2_h)]
         num_coeff = 1 << (log2_w + log2_h)
         coef = np.zeros(num_coeff, dtype=np.int16)
-        t0 = 0 if ch_type == 0 else 2
+        sps = self.sps
+        cm_init = bool(getattr(sps, "is_main", False) and sps.tool_cm_init)
         ctx_last = 0 if ch_type == 0 else 1
         pos = 0
+        prev_level = 6
         while True:
+            if cm_init:
+                t0 = (min(prev_level - 1, 5) << 1) + (0 if ch_type == 0 else 12)
+            else:
+                t0 = 0 if ch_type == 0 else 2
             run = sbac.read_unary_sym(ctx.run, t0, 2)
             pos += run
             level = sbac.read_unary_sym(ctx.level, t0, 2) + 1
+            prev_level = level
             sign = sbac.decode_bin_ep()
             coef[scanp[pos]] = -level if sign else level
             if pos >= num_coeff - 1:

@@ -12,6 +12,22 @@ from .bitstream import BitReader
 
 PROB_INIT = 512  # state=256, mps=0  (ref: src_base/xevd_def.h:76)
 
+
+def _cm_init_model(init_value: int, qp: int) -> int:
+    """CM_INIT model seed: 16-bit packed (slope, offset) linear-in-QP state
+    (ref: src_base/xevd_util.c:1243-1275)."""
+    slope = (init_value & 14) << 4
+    if init_value & 1:
+        slope = -slope
+    offset = ((init_value >> 4) & 62) << 7
+    if (init_value >> 4) & 1:
+        offset = -offset
+    offset += 4096
+    state = min(511, max(1, (slope * qp + offset) >> 4))
+    if state > 256:
+        return ((512 - state) << 1)        # mps = 0
+    return (state << 1) + 1                # mps = 1
+
 # Context counts, Baseline subset (ref: src_base/xevd_def.h:441-475)
 NUM_CTX_SKIP_FLAG = 2
 NUM_CTX_CBF_LUMA = 1
@@ -124,13 +140,32 @@ class SbacCtx:
         ("ats_cu_inter_pos_flag", NUM_CTX_ATS_INTER_POS_FLAG),
     ]
 
+    # context fields with a non-default table name in tables_cabac_init
+    _INIT_ALIAS = {"delta_qp": "dqp"}
+
     def __init__(self):
         for name, n in self.FIELDS:
             setattr(self, name, [PROB_INIT] * n)
+        self.ats_intra_cu = [PROB_INIT]  # Main-only ctx (xevdm_eco.c:354)
 
-    def reset(self):
+    def reset(self, slice_type: int = 0, slice_qp: int = 0,
+              cm_init: bool = False):
+        """Reset all models; with CM_INIT, seed from the normative
+        slice-type/QP linear model (ref: src_base/xevd_util.c:1243-1275,
+        src_main/xevdm_eco.c:1010-1064)."""
+        if not cm_init:
+            for name, n in self.FIELDS:
+                setattr(self, name, [PROB_INIT] * n)
+            self.ats_intra_cu = [PROB_INIT]
+            return
+        from . import tables_cabac_init as CI
+        qp = min(51, max(0, slice_qp))
+        is_b = 1 if slice_type == 0 else 0  # SLICE_B == 0 (tables.py)
         for name, n in self.FIELDS:
-            setattr(self, name, [PROB_INIT] * n)
+            tbl = getattr(CI, "init_" + self._INIT_ALIAS.get(name, name))
+            row = tbl[is_b]
+            setattr(self, name, [_cm_init_model(row[i], qp) for i in range(n)])
+        self.ats_intra_cu = [_cm_init_model(CI.init_ats_intra_cu[is_b][0], qp)]
 
 
 class Sbac:
@@ -144,16 +179,17 @@ class Sbac:
         self.value = 0
         self.ctx = SbacCtx()
 
-    def reset(self, bs: BitReader):
+    def reset(self, bs: BitReader, slice_type: int = 0, slice_qp: int = 0,
+              cm_init: bool = False):
         """Per-tile SBAC reset: range=2^14, preload 14 bits
-        (ref: src_base/xevd_eco.c:743-764)."""
+        (ref: src_base/xevd_eco.c:743-764, src_main/xevdm_eco.c:986-1118)."""
         self.bs = bs
         self.range = 16384
         value = 0
         for _ in range(14):
             value = ((value << 1) | bs.read1()) & 0xFFFF
         self.value = value
-        self.ctx.reset()
+        self.ctx.reset(slice_type, slice_qp, cm_init)
 
     def decode_bin(self, model: list, i: int) -> int:
         m = model[i]
