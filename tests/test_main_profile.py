@@ -27,6 +27,15 @@ CASES = [
     ("m_off_ra", 176, 144, 5, 30, 103, "RA", ()),
     ("m_eipd_i", 176, 144, 2, 30, 104, "I", ("eipd",)),
     ("m_eipd_p", 176, 144, 3, 32, 105, "IPPP", ("eipd",)),
+    ("m_btt_i", 176, 144, 2, 30, 106, "I", ("btt", "eipd", "cm_init")),
+    ("m_btt_p", 176, 144, 3, 31, 107, "IPPP", ("btt", "eipd", "cm_init")),
+    ("m_suco_i", 176, 144, 2, 30, 108, "I",
+     ("btt", "suco", "eipd", "cm_init")),
+    ("m_suco_ra", 176, 144, 5, 30, 109, "RA",
+     ("btt", "suco", "eipd", "cm_init")),
+    ("m_adcc_i", 176, 144, 2, 30, 110, "I", ("adcc", "cm_init", "eipd")),
+    ("m_adcc_p", 176, 144, 3, 33, 111, "IPPP",
+     ("btt", "suco", "adcc", "cm_init", "eipd")),
 ]
 
 

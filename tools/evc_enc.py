@@ -21,6 +21,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from xevd_tpu import partition as P
 from xevd_tpu import tables as T
 from xevd_tpu.bitstream import BitWriter
 from xevd_tpu.sbac import SbacCtx
@@ -199,9 +200,9 @@ def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None,
     if main and t.btt:
         bw.write_ue(1)        # log2_ctu_size_minus5 → CTU 64
         bw.write_ue(0)        # log2_min_cb_size_minus2 → min cb 4
-        bw.write_ue(4)        # log2_diff_ctu_max_14_cb_size
-        bw.write_ue(4)        # log2_diff_ctu_max_tt_cb_size
-        bw.write_ue(2)        # log2_diff_min_cb_min_tt_cb_size_minus2
+        bw.write_ue(0)        # log2_diff_ctu_max_14_cb_size (1:4 up to 64)
+        bw.write_ue(0)        # log2_diff_ctu_max_tt_cb_size (TT up to 64)
+        bw.write_ue(0)        # log2_diff_min_cb_min_tt_cb_size_minus2 (TT>=16)
     bw.write1(t.suco)
     if main and t.suco:
         bw.write_ue(0)        # log2_diff_ctu_size_max_suco_cb_size
@@ -332,7 +333,7 @@ class FrameEncoder:
 
     def __init__(self, w, h, slice_type, qp, rng: np.random.Generator,
                  num_refp=0, prev_maps=None, density=0.5, refp=None,
-                 num_refp1=0, poc=0, tools=None):
+                 num_refp1=0, poc=0, tools=None, main=False):
         self.w, self.h = w, h
         self.slice_type = slice_type
         self.qp = qp
@@ -353,12 +354,29 @@ class FrameEncoder:
         self.refp = refp            # decoder-style refp[ridx][lidx] views
         self.num_refp1 = num_refp1
         self.poc = poc
+        self.map_logw = np.zeros((self.h_scu, self.w_scu), np.uint8)
+        self.map_logh = np.zeros((self.h_scu, self.w_scu), np.uint8)
+        self.is_main = main or self.tools.any_main()
+        if self.tools.btt:
+            class _S:
+                log2_min_cb_size_minus2 = 0
+                log2_diff_ctu_max_14_cb_size = 0
+                log2_diff_ctu_max_tt_cb_size = 0
+                log2_diff_min_cb_min_tt_cb_size_minus2 = 0
+            self.split_tbl = P.split_tbl_init(_S, T.CTU_LOG2_B)
+            self.min_cuwh = 4
+        else:
+            self.split_tbl = None
+            self.min_cuwh = 4
 
     def encode(self) -> bytes:
         ctu = T.CTU_SIZE_B
         for y0 in range(0, self.h, ctu):
             for x0 in range(0, self.w, ctu):
-                self._tree(x0, y0, T.CTU_LOG2_B)
+                if self.is_main:
+                    self._tree_main(x0, y0, T.CTU_LOG2_B, T.CTU_LOG2_B, 0)
+                else:
+                    self._tree(x0, y0, T.CTU_LOG2_B)
         self.sb.encode_bin_trm(1)
         return self.sb.finish()
 
@@ -382,16 +400,127 @@ class FrameEncoder:
                 if xs < self.w and ys < self.h:
                     self._tree(xs, ys, log2 - 1)
         else:
-            self._cu(x0, y0, log2)
+            self._cu(x0, y0, log2, log2)
+
+    # -- Main tree: BTT + SUCO (mirror of frame._decode_tree_main) --------
+    def _tree_main(self, x0, y0, lw, lh, parent_suco):
+        t = self.tools
+        cuw, cuh = 1 << lw, 1 << lh
+        inside = x0 + cuw <= self.w and y0 + cuh <= self.h
+        if cuw > self.min_cuwh or cuh > self.min_cuwh:
+            if inside:
+                split = self._enc_split_mode(x0, y0, lw, lh)
+            else:
+                boundary_b = (y0 + cuh > self.h) and not (x0 + cuw > self.w)
+                boundary_r = (x0 + cuw > self.w) and not (y0 + cuh > self.h)
+                if t.btt:
+                    allow = P.check_split_mode(
+                        lw, lh, 1, boundary_b, boundary_r, T.CTU_LOG2_B,
+                        x0, y0, self.w, self.h, self.split_tbl, 1)
+                    split = (P.SPLIT_BI_VER if allow[P.SPLIT_BI_VER]
+                             else P.SPLIT_BI_HOR)
+                else:
+                    split = P.SPLIT_QUAD
+                    if cuw >= 8 or cuh >= 8:
+                        self.sb.encode_bin(self.sb.ctx.split_cu_flag, 0, 1)
+        else:
+            split = P.NO_SPLIT
+
+        bound = not inside
+        suco_flag = self._enc_suco_flag(cuw, cuh, split, bound, parent_suco)
+
+        if split != P.NO_SPLIT:
+            parts = P.part_structure(split, x0, y0, lw, lh)
+            order = P.suco_order(suco_flag if P.is_vertical(split) else 0,
+                                 split)
+            for pn in order:
+                xs, ys, plw, plh = parts[pn]
+                if xs < self.w and ys < self.h:
+                    self._tree_main(xs, ys, plw, plh, suco_flag)
+        else:
+            self._cu(x0, y0, lw, lh)
+
+    def _enc_split_mode(self, x0, y0, lw, lh):
+        """Mirror of frame._read_split_mode_main."""
+        sb = self.sb
+        rng = self.rng
+        cuw, cuh = 1 << lw, 1 << lh
+        if cuw < 8 and cuh < 8:
+            return P.NO_SPLIT
+        if not self.tools.btt:
+            split = int(rng.random() < (0.6 if cuw > 16 else 0.3))
+            sb.encode_bin(sb.ctx.split_cu_flag, 0, split)
+            return P.SPLIT_QUAD if split else P.NO_SPLIT
+
+        allow = P.check_split_mode(lw, lh, 0, 0, 0, T.CTU_LOG2_B, x0, y0,
+                                   self.w, self.h, self.split_tbl, 1)
+        cands = [m for m in (P.SPLIT_BI_VER, P.SPLIT_BI_HOR,
+                             P.SPLIT_TRI_VER, P.SPLIT_TRI_HOR) if allow[m]]
+        if not cands:
+            return P.NO_SPLIT
+        # choose: bias toward splitting large blocks
+        p_split = 0.65 if max(cuw, cuh) > 16 else 0.3
+        split = int(rng.choice(cands)) if rng.random() < p_split \
+            else P.NO_SPLIT
+
+        if self.tools.cm_init:
+            x_scu, y_scu = x0 >> 2, y0 >> 2
+            scuw = cuw >> 2
+            smaller = 0
+            if y_scu > 0:
+                if (1 << self.map_logw[y_scu - 1, x_scu]) < cuw:
+                    smaller += 1
+            if x_scu > 0 and self.cod[y_scu, x_scu - 1]:
+                if (1 << self.map_logh[y_scu, x_scu - 1]) < cuh:
+                    smaller += 1
+            if x_scu + scuw < self.w_scu and self.cod[y_scu, x_scu + scuw]:
+                if (1 << self.map_logh[y_scu, x_scu + scuw]) < cuh:
+                    smaller += 1
+            ctx = min(smaller, 2) + 3 * P.SPLIT_FLAG_CTX[lw - 2][lh - 2]
+        else:
+            ctx = 0
+        sb.encode_bin(sb.ctx.btt_split_flag, ctx,
+                      0 if split == P.NO_SPLIT else 1)
+        if split == P.NO_SPLIT:
+            return split
+        split_dir = 1 if split in (P.SPLIT_BI_VER, P.SPLIT_TRI_VER) else 0
+        split_typ = 1 if split in (P.SPLIT_TRI_VER, P.SPLIT_TRI_HOR) else 0
+        ctx_dir = (lw - lh + 2) if self.tools.cm_init else 0
+        if (allow[P.SPLIT_BI_VER] or allow[P.SPLIT_TRI_VER]) and \
+                (allow[P.SPLIT_BI_HOR] or allow[P.SPLIT_TRI_HOR]):
+            sb.encode_bin(sb.ctx.btt_split_dir, ctx_dir, split_dir)
+        if (split_dir and allow[P.SPLIT_BI_VER] and allow[P.SPLIT_TRI_VER]) \
+                or (not split_dir and allow[P.SPLIT_BI_HOR]
+                    and allow[P.SPLIT_TRI_HOR]):
+            sb.encode_bin(sb.ctx.btt_split_type, 0, split_typ)
+        return split
+
+    def _enc_suco_flag(self, cuw, cuh, split, bound, parent_suco):
+        t = self.tools
+        if not t.suco:
+            return 0
+        if not P.check_suco_cond(cuw, cuh, split, bound, T.CTU_LOG2_B,
+                                 0, 4, 2 if t.btt else 2):
+            return parent_suco
+        sf = int(self.rng.random() < 0.5)
+        if t.cm_init:
+            ctx = int(np.log2(max(cuw, cuh))) - 2
+            ctx = ctx * 2 if cuw == cuh else ctx * 2 + 1
+        else:
+            ctx = 0
+        self.sb.encode_bin(self.sb.ctx.suco_flag, ctx, sf)
+        return sf
 
     # -- CU ---------------------------------------------------------------
-    def _cu(self, x, y, log2):
+    def _cu(self, x, y, log2w, log2h):
         sb = self.sb
         ctx = sb.ctx
         rng = self.rng
-        cuw = 1 << log2
+        cuw = 1 << log2w
+        cuh = 1 << log2h
         x_scu, y_scu = x >> 2, y >> 2
         scuw = cuw >> 2
+        scuh = cuh >> 2
 
         is_inter_slice = self.slice_type != T.SLICE_I
         is_b = self.slice_type == T.SLICE_B
@@ -399,7 +528,7 @@ class FrameEncoder:
         if self.tools.cm_init and is_inter_slice:
             from xevd_tpu.frame import get_ctx_some_flags
             ctx_skip, ctx_pred = get_ctx_some_flags(
-                x_scu, y_scu, scuw, scuw, self.w_scu, self.map_skip,
+                x_scu, y_scu, scuw, scuh, self.w_scu, self.map_skip,
                 self.map_if, self.cod)
         skip = 0
         if is_inter_slice:
@@ -414,12 +543,14 @@ class FrameEncoder:
                 mvp_idx1 = int(rng.integers(0, 4))
                 sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx1)
                 mv1 = self._mvp_candidates(x_scu, y_scu, scuw, 1)[mvp_idx1]
-                self._set_inter(x_scu, y_scu, scuw, [0, 0],
+                self._set_inter(x_scu, y_scu, scuw, scuh, [0, 0],
                                 np.array([mv0, mv1]), intra=False, skip=True)
             else:
-                self._set_inter(x_scu, y_scu, scuw, [0, -1],
+                self._set_inter(x_scu, y_scu, scuw, scuh, [0, -1],
                                 np.array([mv0, [0, 0]]), intra=False,
                                 skip=True)
+            self.map_logw[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2w
+            self.map_logh[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2h
             return
 
         intra = 1
@@ -435,9 +566,9 @@ class FrameEncoder:
             if direct:
                 # temporal direct: decoder derives MVs; mirror via derive
                 from xevd_tpu.derive import _mv_dir
-                scup_co = (y_scu + scuw - 1, x_scu + scuw - 1)
+                scup_co = (y_scu + scuh - 1, x_scu + scuw - 1)
                 mv0, mv1 = _mv_dir(self.refp, self.poc, scup_co)
-                self._set_inter(x_scu, y_scu, scuw, [0, 0],
+                self._set_inter(x_scu, y_scu, scuw, scuh, [0, 0],
                                 np.array([mv0, mv1]), intra=False, skip=False)
                 cbf = self._enc_cbf(intra=False, no_cbf=False)
             else:
@@ -475,37 +606,39 @@ class FrameEncoder:
                                             mv_out[lidx] - 0x10000,
                                             mv_out[lidx])
                     refi_out[lidx] = refi
-                self._set_inter(x_scu, y_scu, scuw, refi_out, mv_out,
+                self._set_inter(x_scu, y_scu, scuw, scuh, refi_out, mv_out,
                                 intra=False, skip=False)
                 cbf = self._enc_cbf(intra=False, no_cbf=False)
         else:
             if self.tools.eipd:
-                ipm = self._enc_intra_dir_main(x_scu, y_scu, cuw)
+                ipm = self._enc_intra_dir_main(x_scu, y_scu, cuw, cuh)
                 ipm_c = self._enc_intra_dir_c(ipm)
             else:
                 ipm = int(rng.integers(0, 5))
                 self._enc_intra_dir(ipm, x_scu, y_scu)
-            self._set_intra(x_scu, y_scu, scuw, ipm)
+            self._set_intra(x_scu, y_scu, scuw, scuh, ipm)
             cbf = self._enc_cbf(intra=True, no_cbf=False)
 
         # coefficients, Y then U then V (ref: src_base/xevd_eco.c:676-733)
         if cbf[0]:
-            self._enc_coef_block(log2, 0)
+            self._enc_coef_block(log2w, log2h, 0)
         if cbf[1]:
-            self._enc_coef_block(log2 - 1, 1)
+            self._enc_coef_block(log2w - 1, log2h - 1, 1)
         if cbf[2]:
-            self._enc_coef_block(log2 - 1, 1)
+            self._enc_coef_block(log2w - 1, log2h - 1, 1)
 
-        self.cod[y_scu:y_scu + scuw, x_scu:x_scu + scuw] = 1
+        self.cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
+        self.map_logw[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2w
+        self.map_logh[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2h
 
-    def _enc_intra_dir_main(self, x_scu, y_scu, cuw):
+    def _enc_intra_dir_main(self, x_scu, y_scu, cuw, cuh):
         """EIPD luma mode: pick a decodable mode at random, then encode it
         (mirror of xevd_eco_intra_dir, ref: src_base/xevd_eco.c:842-879)."""
         from xevd_tpu.frame import get_mpm_main
         sb = self.sb
         ctx = sb.ctx
         mpm, mpm_ext, pims = get_mpm_main(
-            x_scu, y_scu, cuw, cuw, self.map_if, self.map_ipm, self.cod,
+            x_scu, y_scu, cuw, cuh, self.map_if, self.map_ipm, self.cod,
             self.w_scu)
         decodable = list(dict.fromkeys(list(mpm) + list(mpm_ext) + pims[10:]))
         ipm = int(self.rng.choice(decodable))
@@ -593,10 +726,193 @@ class FrameEncoder:
             self.sb.encode_bin(ctx.cbf_luma, 0, cbf[0])
         return cbf
 
-    def _enc_coef_block(self, log2, ch_type):
+    def _enc_coef_block(self, log2w, log2h, ch_type):
+        if self.tools.adcc:
+            return self._enc_coef_adcc(log2w, log2h, ch_type)
+        return self._enc_coef_rl(log2w, log2h, ch_type)
+
+    def _enc_coef_adcc(self, log2w, log2h, ch_type):
+        """Random coefficients in ADCC form — exact mirror of
+        frame._read_coef_adcc (ref: src_main/xevdm_eco.c:492-693)."""
+        from xevd_tpu.frame import adcc_ctx_gtx, adcc_ctx_sig, adcc_rice_para
+        rng = self.rng
+        sb = self.sb
+        width, height = 1 << log2w, 1 << log2h
+        n = width * height
+        # random sparse block
+        target = np.zeros(n, np.int32)
+        nnz = int(rng.integers(1, max(2, n // 4)))
+        ppos = rng.choice(n, size=nnz, replace=False)
+        mag = rng.integers(1, 24, size=nnz)
+        big = rng.random(nnz) < 0.15
+        mag = np.where(big, mag * 8, mag)
+        sign = rng.integers(0, 2, size=nnz)
+        target[ppos] = np.where(sign, -mag, mag)
+
+        scan = T.SCAN_TBL[(log2w, log2h)]
+        scan_inv = T.INV_SCAN_TBL[(log2w, log2h)]
+        cm = bool(self.tools.cm_init)
+        # last significant position in scan order
+        nz_scan = sorted(int(scan_inv[p]) for p in np.nonzero(target)[0])
+        scan_pos_last = nz_scan[-1]
+        last_blk = int(scan[scan_pos_last])
+        last_x, last_y = last_blk % width, last_blk // width
+        self._enc_last_pos_xy(last_x, last_y, log2w, log2h, ch_type)
+
+        log2_block = min(log2w, log2h)
+        if cm:
+            offset0 = 0 if log2_block <= 2 else \
+                T.NUM_CTX_SIG_COEFF_LUMA_TU << min(1, log2_block - 3)
+            sig_base = offset0 if ch_type == 0 else T.NUM_CTX_SIG_COEFF_LUMA
+            gtx_base = 0 if ch_type == 0 else T.NUM_CTX_GTX_LUMA
+        else:
+            sig_base = 0 if ch_type == 0 else 1
+            gtx_base = 0 if ch_type == 0 else 1
+        cm_sig = sb.ctx.sig_coeff_flag
+        cm_gtx = sb.ctx.coeff_abs_level_greaterAB_flag
+
+        num_coeff = scan_pos_last + 1
+        last_scan_set = (num_coeff - 1) >> T.LOG2_CG_SIZE
+        coef = [0] * n                     # decoder-state mirror
+        ipos = scan_pos_last
+        is_last_nz = False
+        pos_last = 0
+        ctx_gtA = ctx_gtB = 0
+        for sub_set in range(last_scan_set, -1, -1):
+            sub_pos = sub_set << T.LOG2_CG_SIZE
+            pos = []
+            while ipos >= sub_pos:
+                blkpos = int(scan[ipos])
+                sig = 1 if target[blkpos] else 0
+                if ipos != scan_pos_last:
+                    ctx_sig = adcc_ctx_sig(coef, blkpos, width, height,
+                                           ch_type) if cm else 0
+                    sb.encode_bin(cm_sig, sig_base + ctx_sig, sig)
+                coef[blkpos] = sig
+                if sig:
+                    pos.append(blkpos)
+                    if not is_last_nz:
+                        pos_last = blkpos
+                        is_last_nz = True
+                ipos -= 1
+            num_nz = len(pos)
+            if num_nz == 0:
+                continue
+            abs_coef = [1] * num_nz
+            escape = False
+            first_c2 = -1
+            for idx in range(min(num_nz, T.CAFLAG_NUMBER)):
+                if pos[idx] != pos_last:
+                    ctx_gtA = adcc_ctx_gtx(coef, pos[idx], width, height,
+                                           ch_type, 1) if cm else 0
+                gtA = 1 if abs(int(target[pos[idx]])) > 1 else 0
+                sb.encode_bin(cm_gtx, gtx_base + ctx_gtA, gtA)
+                coef[pos[idx]] += gtA
+                abs_coef[idx] = gtA + 1
+                if gtA:
+                    if first_c2 == -1:
+                        first_c2 = idx
+                    else:
+                        escape = True
+            if first_c2 != -1:
+                if pos[first_c2] != pos_last:
+                    ctx_gtB = adcc_ctx_gtx(coef, pos[first_c2], width,
+                                           height, ch_type, 2) if cm else 0
+                gtB = 1 if abs(int(target[pos[first_c2]])) > 2 else 0
+                sb.encode_bin(cm_gtx, gtx_base + ctx_gtB, gtB)
+                coef[pos[first_c2]] += gtB
+                abs_coef[first_c2] = gtB + 2
+                if gtB:
+                    escape = True
+            escape = escape or (num_nz > T.CAFLAG_NUMBER)
+            if escape:
+                first2 = 1
+                for idx in range(num_nz):
+                    base_level = (2 + first2) if idx < T.CAFLAG_NUMBER else 1
+                    tgt = abs(int(target[pos[idx]]))
+                    if abs_coef[idx] >= base_level:
+                        # decoder reads a remainder here; it must reproduce
+                        # the target magnitude
+                        assert tgt >= base_level or tgt == abs_coef[idx], \
+                            (tgt, abs_coef[idx], base_level)
+                        rparam = adcc_rice_para(coef, pos[idx], width,
+                                                height, base_level)
+                        self._enc_remain_exgolomb(tgt - base_level, rparam)
+                        coef[pos[idx]] = tgt
+                        abs_coef[idx] = tgt
+                    if abs_coef[idx] >= 2:
+                        first2 = 0
+            signs = 0
+            for idx in range(num_nz):
+                s = 1 if target[pos[idx]] < 0 else 0
+                signs = (signs << 1) | s
+            sb.encode_bins_ep(signs, num_nz)
+            for idx in range(num_nz):
+                v = abs_coef[idx]
+                coef[pos[idx]] = -v if target[pos[idx]] < 0 else v
+
+    def _enc_last_pos_xy(self, last_x, last_y, log2w, log2h, ch_type):
+        """Mirror of frame._read_last_pos_xy."""
+        sb = self.sb
+        width, height = 1 << log2w, 1 << log2h
+        cm = bool(self.tools.cm_init)
+        base = 0 if ch_type == 0 else (T.NUM_CTX_LAST_SIG_COEFF_LUMA
+                                       if cm else 11)
+        if cm:
+            off_x, off_y, sh_x, sh_y = T.adcc_last_pos_ctx_para(
+                ch_type, width, height)
+        else:
+            off_x = off_y = sh_x = sh_y = 0
+        gx = T.ADCC_GROUP_IDX[last_x]
+        gy = T.ADCC_GROUP_IDX[last_y]
+        for pos in range(gx):
+            sb.encode_bin(sb.ctx.last_sig_coeff_x_prefix,
+                          base + off_x + (pos >> sh_x), 1)
+        if gx < T.ADCC_GROUP_IDX[width - 1]:
+            sb.encode_bin(sb.ctx.last_sig_coeff_x_prefix,
+                          base + off_x + (gx >> sh_x), 0)
+        for pos in range(gy):
+            sb.encode_bin(sb.ctx.last_sig_coeff_y_prefix,
+                          base + off_y + (pos >> sh_y), 1)
+        if gy < T.ADCC_GROUP_IDX[height - 1]:
+            sb.encode_bin(sb.ctx.last_sig_coeff_y_prefix,
+                          base + off_y + (gy >> sh_y), 0)
+        if gx > 3:
+            cnt = (gx - 2) >> 1
+            sb.encode_bins_ep(last_x - T.ADCC_MIN_IN_GROUP[gx], cnt)
+        if gy > 3:
+            cnt = (gy - 2) >> 1
+            sb.encode_bins_ep(last_y - T.ADCC_MIN_IN_GROUP[gy], cnt)
+
+    def _enc_remain_exgolomb(self, symbol, rparam):
+        """Mirror of frame._read_remain_exgolomb."""
+        sb = self.sb
+        rng_ = T.ADCC_GO_RICE_RANGE[rparam]
+        if symbol < (rng_ << rparam):
+            prefix = symbol >> rparam
+            for _ in range(prefix):
+                sb.encode_bin_ep(1)
+            sb.encode_bin_ep(0)
+            if rparam:
+                sb.encode_bins_ep(symbol & ((1 << rparam) - 1), rparam)
+            return
+        prefix = rng_
+        while True:
+            base = (((1 << (prefix - rng_)) + rng_ - 1) << rparam)
+            width = prefix - rng_ + rparam
+            if symbol < base + (1 << width):
+                break
+            prefix += 1
+        for _ in range(prefix):
+            sb.encode_bin_ep(1)
+        sb.encode_bin_ep(0)
+        if width:
+            sb.encode_bins_ep(symbol - base, width)
+
+    def _enc_coef_rl(self, log2w, log2h, ch_type):
         """Random sparse levels in zigzag run/level form."""
         rng = self.rng
-        n = 1 << (2 * log2)
+        n = 1 << (log2w + log2h)
         nnz_positions = sorted(rng.choice(
             n, size=max(1, int(rng.integers(1, max(2, n // 4)))),
             replace=False))
@@ -644,8 +960,8 @@ class FrameEncoder:
             mvp[3] = 0
         return mvp
 
-    def _set_inter(self, x_scu, y_scu, scuw, refi, mv, intra, skip):
-        ys = slice(y_scu, y_scu + scuw)
+    def _set_inter(self, x_scu, y_scu, scuw, scuh, refi, mv, intra, skip):
+        ys = slice(y_scu, y_scu + scuh)
         xs = slice(x_scu, x_scu + scuw)
         self.map_if[ys, xs] = 0
         self.map_skip[ys, xs] = 1 if skip else 0
@@ -654,8 +970,8 @@ class FrameEncoder:
         self.map_mv[ys, xs] = np.asarray(mv, np.int16)
         self.cod[ys, xs] = 1
 
-    def _set_intra(self, x_scu, y_scu, scuw, ipm):
-        ys = slice(y_scu, y_scu + scuw)
+    def _set_intra(self, x_scu, y_scu, scuw, scuh, ipm):
+        ys = slice(y_scu, y_scu + scuh)
         xs = slice(x_scu, x_scu + scuw)
         self.map_if[ys, xs] = 1
         self.map_skip[ys, xs] = 0
@@ -730,7 +1046,8 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
         sh = write_sh(st, qp, nut, tools=tools)
         fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
                           density=density, refp=refp, num_refp1=num_refp[1],
-                          poc=poc.poc_val, tools=tools)
+                          poc=poc.poc_val, tools=tools,
+                          main=profile in (1, 3))
         payload = fe.encode()
         out += _nalu(sh, nut, tid, payload)
 

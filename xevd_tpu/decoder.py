@@ -116,15 +116,16 @@ class NumpyPixelBackend:
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_SKIP:
                 continue
-            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
+            x, y = fs.cu_x[i], fs.cu_y[i]
+            lw_, lh_ = fs.cu_log2w[i], fs.cu_log2h[i]
             cbf = fs.cu_cbf[i]
             r = [None, None, None]
             if cbf[0]:
-                blk = fs.coef_y[y:y + (1 << log2), x:x + (1 << log2)]
+                blk = fs.coef_y[y:y + (1 << lh_), x:x + (1 << lw_)]
                 qp_y = fs.cu_qp[i] + 6 * (bd - 8)
-                r[0] = RN.itdq_block(blk, log2, log2, RN.qp_scale(qp_y), bd)
+                r[0] = RN.itdq_block(blk, lw_, lh_, RN.qp_scale(qp_y), bd)
             if cfi and (cbf[1] or cbf[2]):
-                lw, lh = log2 - cw_s, log2 - ch_s
+                lw, lh = lw_ - cw_s, lh_ - ch_s
                 xc, yc = x >> cw_s, y >> ch_s
                 if cbf[1]:
                     blk = fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)]
@@ -139,8 +140,9 @@ class NumpyPixelBackend:
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_INTRA:
                 continue
-            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
-            cuw = cuh = 1 << log2
+            x, y = fs.cu_x[i], fs.cu_y[i]
+            cuw = 1 << fs.cu_log2w[i]
+            cuh = 1 << fs.cu_log2h[i]
             refi = job.cu_refi[i]
             mv = job.cu_mv[i]
             preds = []
@@ -200,8 +202,10 @@ class NumpyPixelBackend:
         for i in range(n):
             if fs.cu_pred_mode[i] != T.MODE_INTRA:
                 continue
-            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
-            cuw = cuh = 1 << log2
+            x, y = fs.cu_x[i], fs.cu_y[i]
+            cuw = 1 << fs.cu_log2w[i]
+            cuh = 1 << fs.cu_log2h[i]
+            tree = fs.cu_tree[i] if fs.cu_tree else 0
             up_m = int(job.cu_nbr_up[i])
             le_m = int(job.cu_nbr_left[i])
             co = int(job.cu_nbr_corner[i])
@@ -213,12 +217,13 @@ class NumpyPixelBackend:
                 ri_m = int(job.cu_nbr_right[i])
                 lr = int(job.cu_avail_lr[i])
                 ipm_c = fs.cu_ipm_c[i]
-                nb = RM.build_nbr_m(rec_y, x, y, cuw, cuh, 4, up_m, ue_m,
-                                    le_m, ri_m, co, bd)
-                py = RM.ipred_main(nb, lr, ipm, cuw, cuh, bd)
-                rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0],
-                                                       bool(cbf[0]), bd)
-                if cfi:
+                if tree != 2:  # TREE_C units carry no luma
+                    nb = RM.build_nbr_m(rec_y, x, y, cuw, cuh, 4, up_m, ue_m,
+                                        le_m, ri_m, co, bd)
+                    py = RM.ipred_main(nb, lr, ipm, cuw, cuh, bd)
+                    rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0],
+                                                           bool(cbf[0]), bd)
+                if cfi and tree != 1:  # TREE_L units carry no chroma
                     xc, yc = x >> cw_s, y >> ch_s
                     wc, hc = cuw >> cw_s, cuh >> ch_s
                     nb = RM.build_nbr_m(rec_u, xc, yc, wc, hc, 4 >> cw_s,

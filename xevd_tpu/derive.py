@@ -78,8 +78,8 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
 
     for i in range(n):
         x, y = fs.cu_x[i], fs.cu_y[i]
-        log2 = fs.cu_log2[i]
-        cuw = cuh = 1 << log2
+        cuw = 1 << fs.cu_log2w[i]
+        cuh = 1 << fs.cu_log2h[i]
         x_scu, y_scu = x >> 2, y >> 2
         scuw = cuw >> 2
         scuh = cuh >> 2

@@ -13,13 +13,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from . import partition as P
 from . import tables as T
 from .bitstream import BitReader
+from .partition import (MODE_CONS_ALL, MODE_CONS_ONLY_INTER,
+                        MODE_CONS_ONLY_INTRA, NO_SPLIT, SPLIT_QUAD, TREE_C,
+                        TREE_L, TREE_LC)
 from .sbac import Sbac
 from .syntax import MalformedBitstream, Pps, SliceHeader, Sps
-
-NO_SPLIT = 0
-SPLIT_QUAD = 5
 
 
 @dataclass
@@ -40,7 +41,8 @@ class FrameSyntax:
     # per-CU arrays, decode order
     cu_x: list = field(default_factory=list)
     cu_y: list = field(default_factory=list)
-    cu_log2: list = field(default_factory=list)
+    cu_log2w: list = field(default_factory=list)
+    cu_log2h: list = field(default_factory=list)
     cu_pred_mode: list = field(default_factory=list)
     cu_ipm: list = field(default_factory=list)
     cu_ipm_c: list = field(default_factory=list)
@@ -52,6 +54,7 @@ class FrameSyntax:
     cu_mvp_idx: list = field(default_factory=list)   # [2]
     cu_mvd: list = field(default_factory=list)       # [2][2]
     cu_inter_dir: list = field(default_factory=list)
+    cu_tree: list = field(default_factory=list)      # TREE_LC/L/C (dual tree)
     # per-SCU maps (filled during entropy; motion pass updates mv/refi)
     map_if: np.ndarray = None     # intra flag u8 [h_scu, w_scu]
     map_qp: np.ndarray = None
@@ -299,6 +302,72 @@ def get_mpm_main(x_scu, y_scu, cuw, cuh, map_if, map_ipm, cod, w_scu):
     return mpm, mpm_ext, pims
 
 
+# ---------------------------------------------------------------------------
+# ADCC neighbor-sum context helpers, shared decoder/encoder
+# (ref: src_main/xevdm_util.c:3190-3412).  `coef` is the partially-decoded
+# flat raster block; neighbors right/below in raster order are the
+# already-visited (higher scan) positions.
+# ---------------------------------------------------------------------------
+def _adcc_nbr_sum(coef, blkpos, width, height, thresh):
+    """Count of the 5 template neighbors with |coef| > thresh."""
+    pos_y, pos_x = blkpos // width, blkpos % width
+    n = 0
+    if pos_x < width - 1:
+        n += abs(coef[blkpos + 1]) > thresh
+        if pos_x < width - 2:
+            n += abs(coef[blkpos + 2]) > thresh
+        if pos_y < height - 1:
+            n += abs(coef[blkpos + width + 1]) > thresh
+    if pos_y < height - 1:
+        n += abs(coef[blkpos + width]) > thresh
+        if pos_y < height - 2:
+            n += abs(coef[blkpos + 2 * width]) > thresh
+    return int(n)
+
+
+def adcc_ctx_sig(coef, blkpos, width, height, ch_type):
+    """(ref: src_main/xevdm_util.c:3190-3242)"""
+    pos_y, pos_x = blkpos // width, blkpos % width
+    diag = pos_x + pos_y
+    ctx_idx = min(_adcc_nbr_sum(coef, blkpos, width, height, 0), 4) + 1
+    if diag < 2:
+        ctx_idx = min(ctx_idx, 2)
+    if ch_type == 0:
+        ctx_ofs = 0 if diag < 2 else (2 if diag < 5 else 7)
+    else:
+        ctx_ofs = 0 if diag < 2 else 2
+    return ctx_ofs + ctx_idx
+
+
+def adcc_ctx_gtx(coef, blkpos, width, height, ch_type, thresh):
+    """gtA (thresh=1) / gtB (thresh=2) context
+    (ref: src_main/xevdm_util.c:3244-3324)."""
+    pos_y, pos_x = blkpos // width, blkpos % width
+    diag = pos_x + pos_y
+    n = min(_adcc_nbr_sum(coef, blkpos, width, height, thresh), 3) + 1
+    if ch_type == 0:
+        n += 0 if diag < 3 else (4 if diag < 10 else 8)
+    return n
+
+
+def adcc_rice_para(coef, blkpos, width, height, base_level):
+    """(ref: src_main/xevdm_util.c:3379-3412)"""
+    pos_y, pos_x = blkpos // width, blkpos % width
+    s = 0
+    if pos_x < width - 1:
+        s += abs(coef[blkpos + 1])
+        if pos_x < width - 2:
+            s += abs(coef[blkpos + 2])
+        if pos_y < height - 1:
+            s += abs(coef[blkpos + width + 1])
+    if pos_y < height - 1:
+        s += abs(coef[blkpos + width])
+        if pos_y < height - 2:
+            s += abs(coef[blkpos + 2 * width])
+    s = max(min(int(s) - 5 * base_level, 31), 0)
+    return T.ADCC_GO_RICE_PARA[s]
+
+
 # avail bits (subset used by baseline)
 AVAIL_UP = 1 << 0
 AVAIL_LE = 1 << 1
@@ -311,7 +380,7 @@ AVAIL_RI_UP = 1 << 7
 
 
 class EntropyDecoder:
-    """Sequential SBAC + syntax parse of one slice (single tile, Baseline)."""
+    """Sequential SBAC + syntax parse of one slice (single tile)."""
 
     def __init__(self, sps: Sps, pps: Pps, chroma_qp_tbl: np.ndarray,
                  log2_ctu: int = T.CTU_LOG2_B):
@@ -326,6 +395,14 @@ class EntropyDecoder:
         self.h_lcu = (self.h + self.ctu - 1) // self.ctu
         self.w_scu = (self.w + 3) >> 2
         self.h_scu = (self.h + 3) >> 2
+        self.is_main = bool(getattr(sps, "is_main", False))
+        # min CU size (ref: src_main/xevdm.c:328-340)
+        if self.is_main and sps.sps_btt_flag:
+            self.min_cuwh = 1 << (sps.log2_min_cb_size_minus2 + 2)
+            self.split_tbl = P.split_tbl_init(sps, log2_ctu)
+        else:
+            self.min_cuwh = 4
+            self.split_tbl = None
 
     def decode_slice(self, bs: BitReader, sh: SliceHeader,
                      num_refp: tuple) -> FrameSyntax:
@@ -351,15 +428,20 @@ class EntropyDecoder:
         fs.edge_hor = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.edge_ver = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         self.cod_eco = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        # coded-CU geometry per SCU (split-flag ctx, ref map_cu_mode LOGW/H)
+        self.map_logw = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        self.map_logh = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        self.map_affine = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        self.map_ibc = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
 
         self.fs = fs
         self.sh = sh
         self.num_refp = num_refp
         self.qp_prev_eco = sh.qp
+        self.cm_init = bool(self.is_main and sps.tool_cm_init)
 
         sbac = Sbac(bs)
-        sbac.reset(bs, sh.slice_type, sh.qp,
-                   bool(getattr(sps, "is_main", False) and sps.tool_cm_init))
+        sbac.reset(bs, sh.slice_type, sh.qp, self.cm_init)
         self.sbac = sbac
         self.bs = bs
 
@@ -367,7 +449,11 @@ class EntropyDecoder:
         for ctu_idx in range(n_ctu):
             x0 = (ctu_idx % self.w_lcu) << self.log2_ctu
             y0 = (ctu_idx // self.w_lcu) << self.log2_ctu
-            self._decode_tree(x0, y0, self.log2_ctu, self.log2_ctu)
+            if self.is_main:
+                self._decode_tree_main(x0, y0, self.log2_ctu, self.log2_ctu,
+                                       parent_suco=0, mode_cons=MODE_CONS_ALL)
+            else:
+                self._decode_tree(x0, y0, self.log2_ctu, self.log2_ctu)
         if sbac.decode_bin_trm() != 1:
             raise MalformedBitstream("missing tile end flag")
         # cabac zero words: remaining bytes must be zero 16-bit words
@@ -378,14 +464,11 @@ class EntropyDecoder:
 
     # -- CU tree --------------------------------------------------------
     def _decode_tree(self, x0, y0, log2_cuw, log2_cuh):
-        """QT recursion (ref: src_base/xevd.c:918-1017)."""
+        """Baseline QT recursion (ref: src_base/xevd.c:918-1017)."""
         cuw = 1 << log2_cuw
         cuh = 1 << log2_cuh
         if cuw > T.MIN_CU_SIZE or cuh > T.MIN_CU_SIZE:
-            if x0 + cuw <= self.w and y0 + cuh <= self.h:
-                split = self._read_split(cuw, cuh)
-            else:
-                split = self._read_split(cuw, cuh)
+            split = self._read_split(cuw, cuh)
         else:
             split = NO_SPLIT
         if split != NO_SPLIT:
@@ -404,9 +487,201 @@ class EntropyDecoder:
         bin_ = self.sbac.decode_bin(self.sbac.ctx.split_cu_flag, 0)
         return SPLIT_QUAD if bin_ else NO_SPLIT
 
+    # -- Main tree: BTT + SUCO + local dual tree -------------------------
+    def _decode_tree_main(self, x0, y0, log2_cuw, log2_cuh, parent_suco,
+                          mode_cons):
+        """(ref: src_main/xevdm.c:1640-1850 entropy tree)"""
+        sps = self.sps
+        cuw = 1 << log2_cuw
+        cuh = 1 << log2_cuh
+        inside = x0 + cuw <= self.w and y0 + cuh <= self.h
+
+        if cuw > self.min_cuwh or cuh > self.min_cuwh:
+            if inside:
+                split = self._read_split_mode_main(x0, y0, log2_cuw, log2_cuh,
+                                                   mode_cons)
+            else:
+                boundary_b = (y0 + cuh > self.h) and not (x0 + cuw > self.w)
+                boundary_r = (x0 + cuw > self.w) and not (y0 + cuh > self.h)
+                if sps.sps_btt_flag:
+                    allow = P.check_split_mode(
+                        log2_cuw, log2_cuh, 1, boundary_b, boundary_r,
+                        self.log2_ctu, x0, y0, self.w, self.h,
+                        self.split_tbl, 1, mode_cons)
+                    if allow[P.SPLIT_BI_VER]:
+                        split = P.SPLIT_BI_VER
+                    elif allow[P.SPLIT_BI_HOR]:
+                        split = P.SPLIT_BI_HOR
+                    else:
+                        raise MalformedBitstream("no boundary split allowed")
+                else:
+                    split = self._read_split(cuw, cuh)
+        else:
+            split = NO_SPLIT
+
+        bound = not inside
+        suco_flag = self._read_suco_flag(cuw, cuh, split, bound, parent_suco)
+
+        if split != NO_SPLIT:
+            mode_cons_child = mode_cons
+            mode_changed = False
+            if sps.sps_btt_flag and sps.tool_admvp:
+                mode_changed = (mode_cons == MODE_CONS_ALL
+                                and sps.chroma_format_idc != 0
+                                and not P.chroma_split_allowed(cuw, cuh, split))
+                if mode_changed:
+                    if (self.sh.slice_type == T.SLICE_I
+                            or P.mode_cons_by_split(split, cuw, cuh)
+                            == MODE_CONS_ONLY_INTRA
+                            or sps.chroma_format_idc != 1):
+                        mode_cons_child = MODE_CONS_ONLY_INTRA
+                    else:
+                        cf = self._ctx_flags(x0 >> 2, y0 >> 2, cuw, cuh)
+                        bin_ = self.sbac.decode_bin(self.sbac.ctx.mode_cons,
+                                                    cf["mode_cons"])
+                        mode_cons_child = (MODE_CONS_ONLY_INTRA if bin_
+                                           else MODE_CONS_ONLY_INTER)
+            parts = P.part_structure(split, x0, y0, log2_cuw, log2_cuh)
+            order = P.suco_order(
+                suco_flag if P.is_vertical(split) else 0, split)
+            for pn in order:
+                xs, ys, lw, lh = parts[pn]
+                if xs < self.w and ys < self.h:
+                    self._decode_tree_main(xs, ys, lw, lh, suco_flag,
+                                           mode_cons_child)
+            if mode_changed and mode_cons_child == MODE_CONS_ONLY_INTRA:
+                # local dual tree: chroma of the whole node parsed as one
+                # TREE_C unit (ref: src_main/xevdm.c:1833-1838)
+                self._decode_cu(x0, y0, log2_cuw, log2_cuh, tree_type=TREE_C,
+                                mode_cons=MODE_CONS_ONLY_INTRA)
+        else:
+            tree_type = (TREE_L if mode_cons == MODE_CONS_ONLY_INTRA
+                         else TREE_LC)
+            if self.sh.slice_type == T.SLICE_I or (
+                    sps.tool_admvp and log2_cuw == 2 and log2_cuh == 2):
+                mode_cons = MODE_CONS_ONLY_INTRA
+            self._decode_cu(x0, y0, log2_cuw, log2_cuh, tree_type=tree_type,
+                            mode_cons=mode_cons)
+
+    def _read_split_mode_main(self, x0, y0, log2_cuw, log2_cuh, mode_cons):
+        """BTT split syntax (ref: src_main/xevdm_eco.c:1173-1298)."""
+        sbac = self.sbac
+        cuw, cuh = 1 << log2_cuw, 1 << log2_cuh
+        if cuw < 8 and cuh < 8:
+            return NO_SPLIT
+        if not self.sps.sps_btt_flag:
+            bin_ = sbac.decode_bin(sbac.ctx.split_cu_flag, 0)
+            return SPLIT_QUAD if bin_ else NO_SPLIT
+
+        allow = P.check_split_mode(log2_cuw, log2_cuh, 0, 0, 0,
+                                   self.log2_ctu, x0, y0, self.w, self.h,
+                                   self.split_tbl, 1, mode_cons)
+        if not (allow[P.SPLIT_BI_VER] or allow[P.SPLIT_BI_HOR]
+                or allow[P.SPLIT_TRI_VER] or allow[P.SPLIT_TRI_HOR]):
+            return NO_SPLIT
+
+        if self.cm_init:
+            x_scu, y_scu = x0 >> 2, y0 >> 2
+            scuw = cuw >> 2
+            smaller = 0
+            if y_scu > 0:  # up (no cod check in entropy order)
+                if (1 << self.map_logw[y_scu - 1, x_scu]) < cuw:
+                    smaller += 1
+            if x_scu > 0 and self.cod_eco[y_scu, x_scu - 1]:
+                if (1 << self.map_logh[y_scu, x_scu - 1]) < cuh:
+                    smaller += 1
+            if x_scu + scuw < self.w_scu and self.cod_eco[y_scu, x_scu + scuw]:
+                if (1 << self.map_logh[y_scu, x_scu + scuw]) < cuh:
+                    smaller += 1
+            ctx = min(smaller, 2) + 3 * P.SPLIT_FLAG_CTX[log2_cuw - 2][log2_cuh - 2]
+        else:
+            ctx = 0
+
+        if not sbac.decode_bin(sbac.ctx.btt_split_flag, ctx):
+            return NO_SPLIT
+        ctx_dir = (log2_cuw - log2_cuh + 2) if self.cm_init else 0
+        if (allow[P.SPLIT_BI_VER] or allow[P.SPLIT_TRI_VER]) and \
+                (allow[P.SPLIT_BI_HOR] or allow[P.SPLIT_TRI_HOR]):
+            split_dir = sbac.decode_bin(sbac.ctx.btt_split_dir, ctx_dir)
+        else:
+            split_dir = 1 if (allow[P.SPLIT_BI_VER]
+                              or allow[P.SPLIT_TRI_VER]) else 0
+        if (split_dir and allow[P.SPLIT_BI_VER] and allow[P.SPLIT_TRI_VER]) \
+                or (not split_dir and allow[P.SPLIT_BI_HOR]
+                    and allow[P.SPLIT_TRI_HOR]):
+            split_typ = sbac.decode_bin(sbac.ctx.btt_split_type, 0)
+        else:
+            split_typ = 1 if ((split_dir and allow[P.SPLIT_TRI_VER]) or
+                              (not split_dir and allow[P.SPLIT_TRI_HOR])) \
+                else 0
+        if split_typ == 0:
+            return P.SPLIT_BI_VER if split_dir else P.SPLIT_BI_HOR
+        return P.SPLIT_TRI_VER if split_dir else P.SPLIT_TRI_HOR
+
+    def _read_suco_flag(self, cuw, cuh, split_mode, boundary, parent_suco):
+        """(ref: src_main/xevdm_eco.c:1300-1334)"""
+        sps = self.sps
+        if not (self.is_main and sps.sps_suco_flag):
+            return 0
+        if not P.check_suco_cond(
+                cuw, cuh, split_mode, boundary, self.log2_ctu,
+                sps.log2_diff_ctu_size_max_suco_cb_size,
+                sps.log2_diff_max_suco_min_suco_cb_size,
+                (sps.log2_min_cb_size_minus2 + 2) if sps.sps_btt_flag else 2):
+            return parent_suco
+        if self.cm_init:
+            ctx = T.TBL_LOG2[max(cuw, cuh)] - 2
+            ctx = ctx * 2 if cuw == cuh else ctx * 2 + 1
+        else:
+            ctx = 0
+        return self.sbac.decode_bin(self.sbac.ctx.suco_flag, ctx)
+
+    def _ctx_flags(self, x_scu, y_scu, cuw, cuh):
+        """Neighbor-count contexts for skip/pred/mode_cons/affine/ibc
+        (ref: src_main/xevdm_util.c:1729-1830)."""
+        from .sbac import (NUM_CTX_AFFINE_FLAG, NUM_CTX_IBC_FLAG,
+                           NUM_CTX_MODE_CONS, NUM_CTX_PRED_MODE,
+                           NUM_CTX_SKIP_FLAG)
+        out = {"skip": 0, "pred": 0, "mode_cons": 0, "affine": 0, "ibc": 0}
+        sps = self.sps
+        if self.sh.slice_type == T.SLICE_I and (
+                not sps.ibc_flag or cuw > (1 << sps.ibc_log_max_size)
+                or cuh > (1 << sps.ibc_log_max_size)):
+            return out
+        scuw, scuh = cuw >> 2, cuh >> 2
+        fs = self.fs
+        yb = y_scu + scuh - 1
+        nbrs = []
+        if y_scu > 0 and self.cod_eco[y_scu - 1, x_scu]:
+            nbrs.append((y_scu - 1, x_scu))
+        if x_scu > 0 and self.cod_eco[yb, x_scu - 1]:
+            nbrs.append((yb, x_scu - 1))
+        if x_scu + scuw < self.w_scu and self.cod_eco[yb, x_scu + scuw]:
+            nbrs.append((yb, x_scu + scuw))
+        if not nbrs:
+            return out
+        if not self.cm_init:
+            return out
+        cs = cp = ca = ci = 0
+        for p in nbrs:
+            cs += int(fs.map_skip[p])
+            cp += int(fs.map_if[p])
+            if self.sh.slice_type != T.SLICE_I:
+                ca += int(self.map_affine[p])
+            if sps.ibc_flag:
+                ci += int(self.map_ibc[p])
+        out["skip"] = min(cs, NUM_CTX_SKIP_FLAG - 1)
+        out["pred"] = min(cp, NUM_CTX_PRED_MODE - 1)
+        out["mode_cons"] = min(cp, NUM_CTX_MODE_CONS - 1)
+        out["affine"] = min(ca, NUM_CTX_AFFINE_FLAG - 1)
+        out["ibc"] = min(ci, NUM_CTX_IBC_FLAG - 1)
+        return out
+
     # -- CU syntax ------------------------------------------------------
-    def _decode_cu(self, x, y, log2_cuw, log2_cuh):
-        """One CU (ref: src_base/xevd_eco.c:1048-1176)."""
+    def _decode_cu(self, x, y, log2_cuw, log2_cuh, tree_type=TREE_LC,
+                   mode_cons=MODE_CONS_ALL):
+        """One CU (ref: src_base/xevd_eco.c:1048-1176 Baseline,
+        src_main/xevdm_eco.c:1467-1819 Main)."""
         sbac = self.sbac
         ctx = sbac.ctx
         sh = self.sh
@@ -425,16 +700,16 @@ class EntropyDecoder:
         ipm = 0
         ipm_c = None
         cbf = [0, 0, 0]
+        only_intra = mode_cons == MODE_CONS_ONLY_INTRA
+        check_luma = tree_type != TREE_C
+        check_chroma = tree_type != TREE_L
 
-        cm_init = bool(getattr(sps, "is_main", False) and sps.tool_cm_init)
-        ctx_skip = ctx_pred = 0
-        if cm_init and sh.slice_type != T.SLICE_I:
-            ctx_skip, ctx_pred = get_ctx_some_flags(
-                x_scu, y_scu, scuw, scuh, self.w_scu, fs.map_skip,
-                fs.map_if, self.cod_eco)
+        cf = {"skip": 0, "pred": 0, "mode_cons": 0, "affine": 0, "ibc": 0}
+        if self.is_main:
+            cf = self._ctx_flags(x_scu, y_scu, cuw, cuh)
 
-        if sh.slice_type != T.SLICE_I:
-            if sbac.decode_bin(ctx.skip_flag, ctx_skip):
+        if sh.slice_type != T.SLICE_I and not only_intra:
+            if sbac.decode_bin(ctx.skip_flag, cf["skip"]):
                 pred_mode = T.MODE_SKIP
 
         if pred_mode == T.MODE_SKIP:
@@ -443,10 +718,10 @@ class EntropyDecoder:
                 mvp_idx[1] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
             qp = self.qp_prev_eco if self.pps.cu_qp_delta_enabled_flag else sh.qp
         else:
-            # pred mode flag
-            if sh.slice_type != T.SLICE_I:
+            # pred mode flag (ref: xevdm_eco_pred_mode for Main)
+            if sh.slice_type != T.SLICE_I and not only_intra:
                 pred_mode = (T.MODE_INTRA
-                             if sbac.decode_bin(ctx.pred_mode, ctx_pred)
+                             if sbac.decode_bin(ctx.pred_mode, cf["pred"])
                              else T.MODE_INTER)
             else:
                 pred_mode = T.MODE_INTRA
@@ -465,25 +740,43 @@ class EntropyDecoder:
                             refi[lidx] = self._read_refi(self.num_refp[lidx])
                             mvp_idx[lidx] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
                             mvd[lidx] = self._read_mvd()
+            elif not self.is_main:
+                ipm = self._read_intra_dir(x_scu, y_scu)
             elif sps.tool_eipd:
-                mpm, mpm_ext, pims = get_mpm_main(
-                    x_scu, y_scu, cuw, cuh, fs.map_if, fs.map_ipm,
-                    self.cod_eco, self.w_scu)
-                ipm = self._read_intra_dir_main(mpm, mpm_ext, pims)
-                if sps.chroma_format_idc != 0:
+                if check_luma:
+                    mpm, mpm_ext, pims = get_mpm_main(
+                        x_scu, y_scu, cuw, cuh, fs.map_if, fs.map_ipm,
+                        self.cod_eco, self.w_scu)
+                    ipm = self._read_intra_dir_main(mpm, mpm_ext, pims)
+                else:
+                    # TREE_C: luma mode inherited from the co-located luma
+                    # (ref: src_main/xevdm_eco.c:1743-1757)
+                    yc = y_scu + (scuh >> 1)
+                    xc = x_scu + (scuw >> 1)
+                    if fs.map_if[yc, xc]:
+                        ipm = int(fs.map_ipm[yc, xc])
+                    else:
+                        ipm = T.IPD_DC
+                if check_chroma and sps.chroma_format_idc != 0:
                     ipm_c = self._read_intra_dir_c(ipm)
             else:
-                ipm = self._read_intra_dir(x_scu, y_scu)
+                if check_luma:
+                    ipm = self._read_intra_dir(x_scu, y_scu)
+                else:
+                    yc = y_scu + (scuh >> 1)
+                    xc = x_scu + (scuw >> 1)
+                    ipm = int(fs.map_ipm[yc, xc])
 
             qp, cbf = self._decode_coef(x, y, log2_cuw, log2_cuh, pred_mode,
-                                        inter_dir)
+                                        inter_dir, tree_type)
 
         qp_u, qp_v = self._chroma_qps(qp)
 
         # record CU
         fs.cu_x.append(x)
         fs.cu_y.append(y)
-        fs.cu_log2.append(log2_cuw)
+        fs.cu_log2w.append(log2_cuw)
+        fs.cu_log2h.append(log2_cuh)
         fs.cu_pred_mode.append(pred_mode)
         fs.cu_ipm.append(ipm)
         fs.cu_ipm_c.append(ipm if ipm_c is None else ipm_c)
@@ -495,7 +788,11 @@ class EntropyDecoder:
         fs.cu_mvp_idx.append(mvp_idx)
         fs.cu_mvd.append(mvd)
         fs.cu_inter_dir.append(inter_dir)
+        fs.cu_tree.append(tree_type)
         fs.cu_avail.append(0)
+
+        if tree_type == TREE_C:
+            return  # chroma-only unit: luma maps stay untouched
 
         # per-SCU map updates (entropy-time, ref: src_base/xevd_util.c:1574)
         ys, xs = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
@@ -507,6 +804,8 @@ class EntropyDecoder:
         if is_intra:
             fs.map_ipm[ys, xs] = ipm
         self.cod_eco[ys, xs] = 1
+        self.map_logw[ys, xs] = log2_cuw
+        self.map_logh[ys, xs] = log2_cuh
         # CU-boundary edge maps for deblocking
         fs.edge_hor[y_scu, xs] = 1
         fs.edge_ver[ys, x_scu] = 1
@@ -611,57 +910,86 @@ class EntropyDecoder:
         return ipm
 
     # -- coefficients ---------------------------------------------------
-    def _decode_coef(self, x, y, log2_cuw, log2_cuh, pred_mode, inter_dir):
-        """cbf + dqp + run/level (ref: src_base/xevd_eco.c:256-352,601-741)."""
+    def _read_cbf(self, pred_mode, tree_type, is_sub, sub_pos, b_no_cbf):
+        """cbf flags for one (sub-)TU; returns (cbf[3], all_cbf_zero)
+        (ref: src_main/xevdm_eco.c:203-301, src_base/xevd_eco.c:601-660)."""
         sbac = self.sbac
         ctx = sbac.ctx
-        sps = self.sps
-        # In Baseline, pred_mode never becomes MODE_DIR, so cbf_all is
-        # read even for direct CUs (ref: src_base/xevd_eco.c:611 checks
-        # pred_mode==MODE_DIR, which only Main sets)
-        b_no_cbf = False
+        chroma = self.sps.chroma_format_idc != 0
         cbf = [0, 0, 0]
-
-        if pred_mode != T.MODE_INTRA:
-            if not b_no_cbf:
+        if pred_mode != T.MODE_INTRA and tree_type == TREE_LC:
+            if not b_no_cbf and sub_pos == 0:
                 if sbac.decode_bin(ctx.cbf_all, 0) == 0:
-                    qp = (self.qp_prev_eco
-                          if self.pps.cu_qp_delta_enabled_flag else self.qp_prev_eco)
-                    return self.qp_prev_eco, [0, 0, 0]
-            if sps.chroma_format_idc != 0:
+                    return [0, 0, 0], True
+            if chroma:
                 cbf[1] = sbac.decode_bin(ctx.cbf_cb, 0)
                 cbf[2] = sbac.decode_bin(ctx.cbf_cr, 0)
-            if cbf[1] + cbf[2] == 0:
+            if cbf[1] + cbf[2] == 0 and not is_sub:
                 cbf[0] = 1
             else:
                 cbf[0] = sbac.decode_bin(ctx.cbf_luma, 0)
         else:
-            if sps.chroma_format_idc != 0:
+            if tree_type != TREE_L and chroma:
                 cbf[1] = sbac.decode_bin(ctx.cbf_cb, 0)
                 cbf[2] = sbac.decode_bin(ctx.cbf_cr, 0)
-            cbf[0] = sbac.decode_bin(ctx.cbf_luma, 0)
+            if tree_type != TREE_C:
+                cbf[0] = sbac.decode_bin(ctx.cbf_luma, 0)
+        return cbf, False
 
-        if self.pps.cu_qp_delta_enabled_flag and (cbf[0] or cbf[1] or cbf[2]):
-            dqp = self._read_dqp()
-            qp = (self.qp_prev_eco + dqp + 52) % 52
-            self.qp_prev_eco = qp
-        else:
-            qp = self.qp_prev_eco
+    def _decode_coef(self, x, y, log2_cuw, log2_cuh, pred_mode, inter_dir,
+                     tree_type=TREE_LC):
+        """cbf + dqp + coefficient blocks, with the >MAX_TR sub-TU loop
+        (ref: src_base/xevd_eco.c:256-352,601-741,
+        src_main/xevdm_eco.c:820-984)."""
+        sbac = self.sbac
+        sps = self.sps
+        fs = self.fs
+        b_no_cbf = False  # Main MODE_DIR variants set this (admvp stage)
 
-        if cbf[0]:
-            blk = self._read_coef_block(log2_cuw, log2_cuh, 0)
-            self.fs.coef_y[y:y + (1 << log2_cuh), x:x + (1 << log2_cuw)] = blk
-        if cbf[1]:
-            lw, lh = log2_cuw - self.cw_shift, log2_cuh - self.ch_shift
-            blk = self._read_coef_block(lw, lh, 1)
-            xc, yc = x >> self.cw_shift, y >> self.ch_shift
-            self.fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
-        if cbf[2]:
-            lw, lh = log2_cuw - self.cw_shift, log2_cuh - self.ch_shift
-            blk = self._read_coef_block(lw, lh, 1)
-            xc, yc = x >> self.cw_shift, y >> self.ch_shift
-            self.fs.coef_v[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
-        return qp, cbf
+        log2_w_sub = min(log2_cuw, T.MAX_TR_LOG2)
+        log2_h_sub = min(log2_cuh, T.MAX_TR_LOG2)
+        loop_w = 1 << (log2_cuw - log2_w_sub)
+        loop_h = 1 << (log2_cuh - log2_h_sub)
+        is_sub = loop_w * loop_h > 1
+        cbf_any = [0, 0, 0]
+        cbf_all = True
+        qp = self.qp_prev_eco
+        for j in range(loop_h):
+            for i in range(loop_w):
+                if cbf_all:
+                    cbf, zero = self._read_cbf(pred_mode, tree_type, is_sub,
+                                               j + i, b_no_cbf)
+                    if zero:
+                        return self.qp_prev_eco, [0, 0, 0]
+                else:
+                    cbf = [0, 0, 0]
+
+                if self.pps.cu_qp_delta_enabled_flag and \
+                        (cbf[0] or cbf[1] or cbf[2]):
+                    dqp = self._read_dqp()
+                    qp = (self.qp_prev_eco + dqp + 52) % 52
+                    self.qp_prev_eco = qp
+                else:
+                    qp = self.qp_prev_eco
+
+                xs = x + (i << log2_w_sub)
+                ys = y + (j << log2_h_sub)
+                if cbf[0]:
+                    blk = self._read_coef_block(log2_w_sub, log2_h_sub, 0)
+                    fs.coef_y[ys:ys + (1 << log2_h_sub),
+                              xs:xs + (1 << log2_w_sub)] = blk
+                if cbf[1] or cbf[2]:
+                    lw = log2_w_sub - self.cw_shift
+                    lh = log2_h_sub - self.ch_shift
+                    xc, yc = xs >> self.cw_shift, ys >> self.ch_shift
+                    if cbf[1]:
+                        blk = self._read_coef_block(lw, lh, 1)
+                        fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
+                    if cbf[2]:
+                        blk = self._read_coef_block(lw, lh, 1)
+                        fs.coef_v[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
+                cbf_any = [a | b for a, b in zip(cbf_any, cbf)]
+        return qp, cbf_any
 
     def _read_dqp(self):
         sbac = self.sbac
@@ -671,6 +999,12 @@ class EntropyDecoder:
         return dqp
 
     def _read_coef_block(self, log2_w, log2_h, ch_type) -> np.ndarray:
+        """Coefficient block dispatch (ref: src_main/xevdm_eco.c:697-729)."""
+        if self.is_main and self.sps.tool_adcc:
+            return self._read_coef_adcc(log2_w, log2_h, ch_type)
+        return self._read_coef_rl(log2_w, log2_h, ch_type)
+
+    def _read_coef_rl(self, log2_w, log2_h, ch_type) -> np.ndarray:
         """Run/level zigzag (ref: src_base/xevd_eco.c:354-411; CM_INIT ctx
         selection ref: src_main/xevdm_eco.c:303-352)."""
         sbac = self.sbac
@@ -679,7 +1013,7 @@ class EntropyDecoder:
         num_coeff = 1 << (log2_w + log2_h)
         coef = np.zeros(num_coeff, dtype=np.int16)
         sps = self.sps
-        cm_init = bool(getattr(sps, "is_main", False) and sps.tool_cm_init)
+        cm_init = self.cm_init
         ctx_last = 0 if ch_type == 0 else 1
         pos = 0
         prev_level = 6
@@ -700,6 +1034,157 @@ class EntropyDecoder:
             if sbac.decode_bin(ctx.last, ctx_last):
                 break
         return coef.reshape(1 << log2_h, 1 << log2_w)
+
+    def _read_last_pos_xy(self, log2_w, log2_h, ch_type):
+        """last_sig_coeff_{x,y} prefix/suffix
+        (ref: src_main/xevdm_eco.c:395-463)."""
+        sbac = self.sbac
+        width, height = 1 << log2_w, 1 << log2_h
+        base = 0 if ch_type == 0 else \
+            (T.NUM_CTX_LAST_SIG_COEFF_LUMA if self.cm_init else 11)
+        cm_x = sbac.ctx.last_sig_coeff_x_prefix
+        cm_y = sbac.ctx.last_sig_coeff_y_prefix
+        if self.cm_init:
+            off_x, off_y, sh_x, sh_y = T.adcc_last_pos_ctx_para(
+                ch_type, width, height)
+        else:
+            off_x = off_y = sh_x = sh_y = 0
+        pos_x = 0
+        while pos_x < T.ADCC_GROUP_IDX[width - 1]:
+            if not sbac.decode_bin(cm_x, base + off_x + (pos_x >> sh_x)):
+                break
+            pos_x += 1
+        pos_y = 0
+        while pos_y < T.ADCC_GROUP_IDX[height - 1]:
+            if not sbac.decode_bin(cm_y, base + off_y + (pos_y >> sh_y)):
+                break
+            pos_y += 1
+        if pos_x > 3:
+            cnt = (pos_x - 2) >> 1
+            tmp = sbac.decode_bins_ep(cnt)
+            pos_x = T.ADCC_MIN_IN_GROUP[pos_x] + tmp
+        if pos_y > 3:
+            cnt = (pos_y - 2) >> 1
+            tmp = sbac.decode_bins_ep(cnt)
+            pos_y = T.ADCC_MIN_IN_GROUP[pos_y] + tmp
+        return pos_x, pos_y
+
+    def _read_remain_exgolomb(self, rparam):
+        """(ref: src_main/xevdm_eco.c:464-491)"""
+        sbac = self.sbac
+        prefix = 0
+        while sbac.decode_bin_ep():
+            prefix += 1
+        rng = T.ADCC_GO_RICE_RANGE[rparam]
+        if prefix < rng:
+            suffix = sbac.decode_bins_ep(rparam) if rparam else 0
+            return (prefix << rparam) + suffix
+        suffix = sbac.decode_bins_ep(prefix - rng + rparam)
+        return (((1 << (prefix - rng)) + rng - 1) << rparam) + suffix
+
+    def _read_coef_adcc(self, log2_w, log2_h, ch_type) -> np.ndarray:
+        """ADCC coefficient decode (ref: src_main/xevdm_eco.c:492-693)."""
+        sbac = self.sbac
+        width, height = 1 << log2_w, 1 << log2_h
+        coef = [0] * (width * height)      # partial values feed the contexts
+        last_x, last_y = self._read_last_pos_xy(log2_w, log2_h, ch_type)
+        scan = T.SCAN_TBL[(log2_w, log2_h)]
+        scan_inv = T.INV_SCAN_TBL[(log2_w, log2_h)]
+        num_coeff = int(scan_inv[last_x + last_y * width]) + 1
+
+        log2_block = min(log2_w, log2_h)
+        if self.cm_init:
+            offset0 = 0 if log2_block <= 2 else \
+                T.NUM_CTX_SIG_COEFF_LUMA_TU << min(1, log2_block - 3)
+            sig_base = offset0 if ch_type == 0 else T.NUM_CTX_SIG_COEFF_LUMA
+            gtx_base = 0 if ch_type == 0 else T.NUM_CTX_GTX_LUMA
+        else:
+            sig_base = 0 if ch_type == 0 else 1
+            gtx_base = 0 if ch_type == 0 else 1
+        cm_sig = sbac.ctx.sig_coeff_flag
+        cm_gtx = sbac.ctx.coeff_abs_level_greaterAB_flag
+
+        cg_size = 1 << T.LOG2_CG_SIZE
+        last_scan_set = (num_coeff - 1) >> T.LOG2_CG_SIZE
+        scan_pos_last = num_coeff - 1
+        ipos = scan_pos_last
+        is_last_nz = False
+        pos_last = 0
+        ctx_gtA = ctx_gtB = 0
+
+        for sub_set in range(last_scan_set, -1, -1):
+            sub_pos = sub_set << T.LOG2_CG_SIZE
+            pos = []
+            abs_coef = []
+            while ipos >= sub_pos:
+                blkpos = int(scan[ipos])
+                if ipos == scan_pos_last:
+                    sig = 1
+                else:
+                    ctx_sig = adcc_ctx_sig(coef, blkpos, width, height,
+                                           ch_type) if self.cm_init else 0
+                    sig = sbac.decode_bin(cm_sig, sig_base + ctx_sig)
+                coef[blkpos] = sig
+                if sig:
+                    pos.append(blkpos)
+                    if not is_last_nz:
+                        pos_last = blkpos
+                        is_last_nz = True
+                ipos -= 1
+            num_nz = len(pos)
+            if num_nz == 0:
+                continue
+            abs_coef = [1] * num_nz
+            escape = False
+            first_c2 = -1
+            for idx in range(min(num_nz, T.CAFLAG_NUMBER)):
+                if pos[idx] != pos_last and self.cm_init:
+                    ctx_gtA = adcc_ctx_gtx(coef, pos[idx], width, height,
+                                           ch_type, 1)
+                elif pos[idx] != pos_last:
+                    ctx_gtA = 0
+                gtA = sbac.decode_bin(cm_gtx, gtx_base + ctx_gtA)
+                coef[pos[idx]] += gtA
+                abs_coef[idx] = gtA + 1
+                if gtA:
+                    if first_c2 == -1:
+                        first_c2 = idx
+                    else:
+                        escape = True
+            if first_c2 != -1:
+                if pos[first_c2] != pos_last and self.cm_init:
+                    ctx_gtB = adcc_ctx_gtx(coef, pos[first_c2], width,
+                                           height, ch_type, 2)
+                elif pos[first_c2] != pos_last:
+                    ctx_gtB = 0
+                gtB = sbac.decode_bin(cm_gtx, gtx_base + ctx_gtB)
+                coef[pos[first_c2]] += gtB
+                abs_coef[first_c2] = gtB + 2
+                if gtB:
+                    escape = True
+            escape = escape or (num_nz > T.CAFLAG_NUMBER)
+            if escape:
+                first2 = 1
+                for idx in range(num_nz):
+                    base_level = (2 + first2) if idx < T.CAFLAG_NUMBER else 1
+                    if abs_coef[idx] >= base_level:
+                        rparam = adcc_rice_para(coef, pos[idx], width,
+                                                height, base_level)
+                        rem = self._read_remain_exgolomb(rparam)
+                        coef[pos[idx]] = rem + base_level
+                        abs_coef[idx] = rem + base_level
+                    if abs_coef[idx] >= 2:
+                        first2 = 0
+            signs = sbac.decode_bins_ep(num_nz)
+            for idx in range(num_nz):
+                v = abs_coef[idx]
+                if (signs >> (num_nz - 1 - idx)) & 1:
+                    v = -v
+                coef[pos[idx]] = v
+        out = np.asarray(coef, dtype=np.int64)
+        # coefficients are carried as s16 in the reference
+        out = ((out + 0x8000) & 0xFFFF) - 0x8000
+        return out.astype(np.int16).reshape(height, width)
 
     def _chroma_qps(self, qp):
         sps = self.sps

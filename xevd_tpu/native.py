@@ -106,7 +106,8 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     cu = cu_out[:n]
     fs.cu_x = cu[:, 0].tolist()
     fs.cu_y = cu[:, 1].tolist()
-    fs.cu_log2 = cu[:, 2].tolist()
+    fs.cu_log2w = cu[:, 2].tolist()
+    fs.cu_log2h = cu[:, 2].tolist()  # Baseline QT: always square
     fs.cu_pred_mode = cu[:, 3].tolist()
     fs.cu_ipm = cu[:, 4].tolist()
     fs.cu_qp = cu[:, 5].tolist()

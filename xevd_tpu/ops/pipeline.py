@@ -79,10 +79,14 @@ def _unpack(payload, sig):
 
 
 def _iota_pos(pos, s):
+    return _iota_pos_wh(pos, s, s)
+
+
+def _iota_pos_wh(pos, h, w):
     yy = pos[:, 0][:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, s, s), 1)
+        jnp.int32, (1, h, w), 1)
     xx = pos[:, 1][:, None, None] + jax.lax.broadcasted_iota(
-        jnp.int32, (1, s, s), 2)
+        jnp.int32, (1, h, w), 2)
     return yy, xx
 
 
@@ -99,15 +103,15 @@ def _itdq_all(payload, sig, shp_y, shp_c, bd):
     for name, _, shape in sig:
         if not name.startswith("q"):
             continue
-        _, log2_s, comp_s = name.split("_")
-        log2, comp = int(log2_s), int(comp_s)
-        size = 1 << log2
-        blk = names[name]                  # [Np, 3 + size*size] rows
-        coef = blk[:, 3:].reshape(-1, size, size)
+        _, lw_s, lh_s, comp_s = name.split("_")
+        lw, lh, comp = int(lw_s), int(lh_s), int(comp_s)
+        w, h = 1 << lw, 1 << lh
+        blk = names[name]                  # [Np, 3 + w*h] rows
+        coef = blk[:, 3:].reshape(-1, h, w)
         scale = blk[:, 0]
         pos = blk[:, 1:3]
-        res = JQ.itdq_bucket(coef, scale, log2, log2, bd)
-        yy, xx = _iota_pos(pos, size)
+        res = JQ.itdq_bucket(coef, scale, lw, lh, bd)
+        yy, xx = _iota_pos_wh(pos, h, w)
         planes[comp] = planes[comp].at[yy, xx].set(res, mode="drop")
     if shp_c is not None:
         return planes[0], planes[1], planes[2]
@@ -131,21 +135,21 @@ def _mc_all(payload, refs, sig, shp_y, shp_c, bd):
     for name, _, shape in sig:
         if not name.startswith("m"):
             continue
-        _, plane_s, size_s, case_s = name.split("_")
-        size, case = int(size_s), int(case_s)
+        _, plane_s, w_s, h_s, case_s = name.split("_")
+        w, h, case = int(w_s), int(h_s), int(case_s)
         is_luma = plane_s == "l"
         e = names[name]                    # [Np, 5]: slot, gx, gy, py, px
         slot, gx, gy = e[:, 0], e[:, 1], e[:, 2]
         pos = e[:, 3:5]
         if is_luma:
-            p = JM.mc_bucket((refs_y, slot, gx, gy), case, size, size, bd, True)
-            yy, xx = _iota_pos(pos, size)
+            p = JM.mc_bucket((refs_y, slot, gx, gy), case, w, h, bd, True)
+            yy, xx = _iota_pos_wh(pos, h, w)
             pred_y = pred_y.at[yy, xx].add(p, mode="drop")
             cnt_y = cnt_y.at[yy, xx].add(1, mode="drop")
         else:
-            pu = JM.mc_bucket((refs_u, slot, gx, gy), case, size, size, bd, False)
-            pv = JM.mc_bucket((refs_v, slot, gx, gy), case, size, size, bd, False)
-            yy, xx = _iota_pos(pos, size)
+            pu = JM.mc_bucket((refs_u, slot, gx, gy), case, w, h, bd, False)
+            pv = JM.mc_bucket((refs_v, slot, gx, gy), case, w, h, bd, False)
+            yy, xx = _iota_pos_wh(pos, h, w)
             pred_u = pred_u.at[yy, xx].add(pu, mode="drop")
             pred_v = pred_v.at[yy, xx].add(pv, mode="drop")
             cnt_c = cnt_c.at[yy, xx].add(1, mode="drop")
@@ -224,9 +228,9 @@ class JaxPixelBackend:
                 continue
             parts = name.split("_")
             if prefix == "q":
-                yield (int(parts[1]), int(parts[2]))
+                yield (int(parts[1]), int(parts[2]), int(parts[3]))
             else:
-                yield (parts[1], int(parts[2]), int(parts[3]))
+                yield (parts[1], int(parts[2]), int(parts[3]), int(parts[4]))
 
     def _rows(self, name, n):
         req = _pow2(n)
@@ -310,41 +314,42 @@ class JaxPixelBackend:
             if fs.cu_pred_mode[i] == T.MODE_SKIP:
                 continue
             cbf = fs.cu_cbf[i]
-            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
+            x, y = fs.cu_x[i], fs.cu_y[i]
+            lw_, lh_ = fs.cu_log2w[i], fs.cu_log2h[i]
             if cbf[0]:
-                s = 1 << log2
-                row = np.empty(3 + s * s, np.int32)
+                w, h = 1 << lw_, 1 << lh_
+                row = np.empty(3 + w * h, np.int32)
                 row[0] = qp_scale(fs.cu_qp[i] + 6 * (bd - 8))
                 row[1] = y + BORDER
                 row[2] = x + BORDER
-                row[3:] = fs.coef_y[y:y + s, x:x + s].ravel()
-                buckets[(log2, 0)].append(row)
+                row[3:] = fs.coef_y[y:y + h, x:x + w].ravel()
+                buckets[(lw_, lh_, 0)].append(row)
             if chroma:
-                lw = log2 - 1
-                s = 1 << lw
+                lw, lh = lw_ - 1, lh_ - 1
+                w, h = 1 << lw, 1 << lh
                 xc, yc = x >> 1, y >> 1
                 if cbf[1]:
-                    row = np.empty(3 + s * s, np.int32)
+                    row = np.empty(3 + w * h, np.int32)
                     row[0] = qp_scale(fs.cu_qp_u[i])
                     row[1] = yc + BORDER
                     row[2] = xc + BORDER
-                    row[3:] = fs.coef_u[yc:yc + s, xc:xc + s].ravel()
-                    buckets[(lw, 1)].append(row)
+                    row[3:] = fs.coef_u[yc:yc + h, xc:xc + w].ravel()
+                    buckets[(lw, lh, 1)].append(row)
                 if cbf[2]:
-                    row = np.empty(3 + s * s, np.int32)
+                    row = np.empty(3 + w * h, np.int32)
                     row[0] = qp_scale(fs.cu_qp_v[i])
                     row[1] = yc + BORDER
                     row[2] = xc + BORDER
-                    row[3:] = fs.coef_v[yc:yc + s, xc:xc + s].ravel()
-                    buckets[(lw, 2)].append(row)
-        for (log2, comp) in list(self._sched_keys("q")):
-            if (log2, comp) not in buckets:
-                buckets[(log2, comp)] = []
-        for (log2, comp), rows in buckets.items():
-            name = f"q_{log2}_{comp}"
+                    row[3:] = fs.coef_v[yc:yc + h, xc:xc + w].ravel()
+                    buckets[(lw, lh, 2)].append(row)
+        for key in list(self._sched_keys("q")):
+            if key not in buckets:
+                buckets[key] = []
+        for (lw, lh, comp), rows in buckets.items():
+            name = f"q_{lw}_{lh}_{comp}"
             N = len(rows)
             Np = self._rows(name, max(N, 1))
-            width = 3 + (1 << log2) * (1 << log2)
+            width = 3 + (1 << lw) * (1 << lh)
             arr = np.zeros((Np, width), np.int32)
             if N:
                 arr[:N] = np.stack(rows)
@@ -372,15 +377,16 @@ class JaxPixelBackend:
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_INTRA:
                 continue
-            x, y, log2 = fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i]
-            cuw = 1 << log2
+            x, y = fs.cu_x[i], fs.cu_y[i]
+            cuw = 1 << fs.cu_log2w[i]
+            cuh = 1 << fs.cu_log2h[i]
             refi = job.cu_refi[i]
             mv = job.cu_mv[i]
             entries = []
             for lidx in range(2):
                 if refi[lidx] < 0:
                     continue
-                mvx_c, mvy_c = _mv_clip(x, y, fs.w, fs.h, cuw, cuw, mv[lidx])
+                mvx_c, mvy_c = _mv_clip(x, y, fs.w, fs.h, cuw, cuh, mv[lidx])
                 gx16 = (((x << 2) + mvx_c) << 2)
                 gy16 = (((y << 2) + mvy_c) << 2)
                 pic = refp[refi[lidx]][lidx].pic
@@ -395,7 +401,7 @@ class JaxPixelBackend:
                 fy = (mvy << 2) & 15
                 case = (1 if fx else 0) | (2 if fy else 0)
                 pad = T.PIC_PAD_SIZE_L
-                buckets[("l", cuw, case)].append(
+                buckets[("l", cuw, cuh, case)].append(
                     (slot, gx16 + (pad << 4), gy16 + (pad << 4),
                      y + BORDER, x + BORDER))
                 if chroma:
@@ -403,15 +409,15 @@ class JaxPixelBackend:
                     fy_c = (mvy << 2) & 31
                     case_c = (1 if fx_c else 0) | (2 if fy_c else 0)
                     pad_c = T.PIC_PAD_SIZE_C
-                    buckets[("c", cuw >> 1, case_c)].append(
+                    buckets[("c", cuw >> 1, cuh >> 1, case_c)].append(
                         (slot, gx16 + (pad_c << 5), gy16 + (pad_c << 5),
                          (y >> 1) + BORDER, (x >> 1) + BORDER))
 
         for key in list(self._sched_keys("m")):
             if key not in buckets:
                 buckets[key] = []
-        for (pl, size, case), entries in buckets.items():
-            name = f"m_{pl}_{size}_{case}"
+        for (pl, w, h, case), entries in buckets.items():
+            name = f"m_{pl}_{w}_{h}_{case}"
             N = len(entries)
             Np = self._rows(name, max(N, 64))
             arr = np.zeros((Np, 5), np.int32)
@@ -438,7 +444,9 @@ class JaxPixelBackend:
         arr = np.zeros((Np, 8), np.int32)
         arr[:, 2] = 2
         for j, i in enumerate(idx):
-            arr[j] = (fs.cu_x[i], fs.cu_y[i], fs.cu_log2[i], fs.cu_ipm[i],
+            # Baseline intra is always square (JAX intra scan assumes it)
+            assert fs.cu_log2w[i] == fs.cu_log2h[i]
+            arr[j] = (fs.cu_x[i], fs.cu_y[i], fs.cu_log2w[i], fs.cu_ipm[i],
                       np.int32(np.uint32(job.cu_nbr_up[i] & 0xFFFFFFFF)),
                       np.int32(np.uint32(job.cu_nbr_left[i] & 0xFFFFFFFF)),
                       job.cu_nbr_corner[i], 1)

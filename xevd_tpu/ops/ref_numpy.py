@@ -326,109 +326,135 @@ def deblock_frame(planes, job, sps):
     deblock_pass_hor(planes, job, sps)
 
 
+def _cu_deblock_order(fs):
+    """CU visit order for deblocking = decode order, minus chroma-only
+    dual-tree units (the deblock tree visits split-tree leaves only,
+    ref: src_main/xevdm.c:1935-2010)."""
+    for i in range(fs.num_cus()):
+        if fs.cu_tree and fs.cu_tree[i] == 2:  # TREE_C
+            continue
+        yield i
+
+
 def deblock_pass_hor(planes, job, sps):
+    """Filter the TOP edge of each CU, CUs visited in decode (SUCO) order
+    (ref: src_base/xevd_df.c:291-380; order src_main/xevdm.c:1935+)."""
     y_plane, u_plane, v_plane = planes
     bd_l = sps.bit_depth_luma_minus8 + 8
     bd_c = sps.bit_depth_chroma_minus8 + 8
-    h_scu, w_scu = job.db_hor_y.shape
-    w, h = job.fs.w, job.fs.h
+    fs = job.fs
+    w, h = fs.w, fs.h
     cfi = sps.chroma_format_idc
     cw_shift = 1 if cfi in (1, 2) else 0
     ch_shift = 1 if cfi == 1 else 0
 
-    # --- horizontal edges (filter across rows y-2..y+1) ---
-    for ys in range(1, h_scu):
-        ypel = ys << 2
-        if ypel >= h:
-            break
-        xs_all = np.nonzero(job.db_hor_y[ys])[0]
-        # luma: all segments of this edge row at once
-        for xs in xs_all:
+    for i in _cu_deblock_order(fs):
+        y0 = fs.cu_y[i]
+        if y0 == 0 or y0 >= h:
+            continue
+        x0 = fs.cu_x[i]
+        ys = y0 >> 2
+        ypel = y0
+        for xs in range(x0 >> 2, min((x0 + (1 << fs.cu_log2w[i])) >> 2,
+                                     (w + 3) >> 2)):
             st = int(job.db_hor_y[ys, xs])
-            if st == 0:
-                continue
-            x0 = xs << 2
-            n = min(4, w - x0)
-            cols = slice(x0, x0 + n)
-            A = y_plane[ypel - 2, cols]
-            B = y_plane[ypel - 1, cols]
-            C = y_plane[ypel, cols]
-            D = y_plane[ypel + 1, cols]
-            A, B, C, D = deblock_luma_edge(A, B, C, D, st, bd_l)
-            y_plane[ypel - 2, cols] = A
-            y_plane[ypel - 1, cols] = B
-            y_plane[ypel, cols] = C
-            y_plane[ypel + 1, cols] = D
-        if cfi:
-            yc = ypel >> ch_shift
-            for xs in np.nonzero(job.db_hor_u[ys] | job.db_hor_v[ys])[0]:
+            if st:
+                xp = xs << 2
+                n = min(4, w - xp)
+                cols = slice(xp, xp + n)
+                A, B, C, D = (y_plane[ypel - 2, cols], y_plane[ypel - 1, cols],
+                              y_plane[ypel, cols], y_plane[ypel + 1, cols])
+                A, B, C, D = deblock_luma_edge(A, B, C, D, st, bd_l)
+                y_plane[ypel - 2, cols] = A
+                y_plane[ypel - 1, cols] = B
+                y_plane[ypel, cols] = C
+                y_plane[ypel + 1, cols] = D
+            if cfi:
                 st_u = int(job.db_hor_u[ys, xs])
                 st_v = int(job.db_hor_v[ys, xs])
-                x0 = (xs << 2) >> cw_shift
-                n = 4 >> cw_shift
-                cols = slice(x0, x0 + n)
-                if st_u:
-                    A, B, C, D = (u_plane[yc - 2, cols], u_plane[yc - 1, cols],
-                                  u_plane[yc, cols], u_plane[yc + 1, cols])
-                    B, C = deblock_chroma_edge(A, B, C, D, st_u, bd_c)
-                    u_plane[yc - 1, cols] = B
-                    u_plane[yc, cols] = C
-                if st_v:
-                    A, B, C, D = (v_plane[yc - 2, cols], v_plane[yc - 1, cols],
-                                  v_plane[yc, cols], v_plane[yc + 1, cols])
-                    B, C = deblock_chroma_edge(A, B, C, D, st_v, bd_c)
-                    v_plane[yc - 1, cols] = B
-                    v_plane[yc, cols] = C
+                if st_u or st_v:
+                    yc = ypel >> ch_shift
+                    xp = (xs << 2) >> cw_shift
+                    cols = slice(xp, xp + (4 >> cw_shift))
+                    if st_u:
+                        A, B, C, D = (u_plane[yc - 2, cols],
+                                      u_plane[yc - 1, cols],
+                                      u_plane[yc, cols], u_plane[yc + 1, cols])
+                        B, C = deblock_chroma_edge(A, B, C, D, st_u, bd_c)
+                        u_plane[yc - 1, cols] = B
+                        u_plane[yc, cols] = C
+                    if st_v:
+                        A, B, C, D = (v_plane[yc - 2, cols],
+                                      v_plane[yc - 1, cols],
+                                      v_plane[yc, cols], v_plane[yc + 1, cols])
+                        B, C = deblock_chroma_edge(A, B, C, D, st_v, bd_c)
+                        v_plane[yc - 1, cols] = B
+                        v_plane[yc, cols] = C
 
 
 def deblock_pass_ver(planes, job, sps):
+    """Vertical-edge pass: CUs visited in decode (SUCO) order; an edge is
+    filtered by whichever of its two CUs is visited SECOND, tracked by a
+    pass-local coded map (ref: src_base/xevd_df.c:388-545 — left edge gated
+    on MCU_GET_COD(map_scu[-1]), right edge on MCU_GET_COD(map_scu[w]))."""
     y_plane, u_plane, v_plane = planes
     bd_l = sps.bit_depth_luma_minus8 + 8
     bd_c = sps.bit_depth_chroma_minus8 + 8
-    h_scu, w_scu = job.db_hor_y.shape
-    w, h = job.fs.w, job.fs.h
+    fs = job.fs
+    w, h = fs.w, fs.h
     cfi = sps.chroma_format_idc
     cw_shift = 1 if cfi in (1, 2) else 0
     ch_shift = 1 if cfi == 1 else 0
+    h_scu_max = (h + 3) >> 2
+    cod = np.zeros((fs.h_scu, fs.w_scu), dtype=np.uint8)
 
-    # --- vertical edges (filter across cols x-2..x+1) ---
-    for xs in range(1, w_scu):
-        xpel = xs << 2
-        if xpel >= w:
-            break
-        for ys in np.nonzero(job.db_ver_y[:, xs])[0]:
-            st = int(job.db_ver_y[ys, xs])
-            if st == 0:
-                continue
-            y0 = ys << 2
-            n = min(4, h - y0)
-            rows = slice(y0, y0 + n)
-            A = y_plane[rows, xpel - 2]
-            B = y_plane[rows, xpel - 1]
-            C = y_plane[rows, xpel]
-            D = y_plane[rows, xpel + 1]
-            A, B, C, D = deblock_luma_edge(A, B, C, D, st, bd_l)
-            y_plane[rows, xpel - 2] = A
-            y_plane[rows, xpel - 1] = B
-            y_plane[rows, xpel] = C
-            y_plane[rows, xpel + 1] = D
-        if cfi:
-            xc = xpel >> cw_shift
-            for ys in np.nonzero(job.db_ver_u[:, xs] | job.db_ver_v[:, xs])[0]:
-                st_u = int(job.db_ver_u[ys, xs])
-                st_v = int(job.db_ver_v[ys, xs])
-                y0 = (ys << 2) >> ch_shift
-                n = 4 >> ch_shift
-                rows = slice(y0, y0 + n)
-                if st_u:
-                    A, B, C, D = (u_plane[rows, xc - 2], u_plane[rows, xc - 1],
-                                  u_plane[rows, xc], u_plane[rows, xc + 1])
-                    B, C = deblock_chroma_edge(A, B, C, D, st_u, bd_c)
-                    u_plane[rows, xc - 1] = B
-                    u_plane[rows, xc] = C
-                if st_v:
-                    A, B, C, D = (v_plane[rows, xc - 2], v_plane[rows, xc - 1],
-                                  v_plane[rows, xc], v_plane[rows, xc + 1])
-                    B, C = deblock_chroma_edge(A, B, C, D, st_v, bd_c)
-                    v_plane[rows, xc - 1] = B
-                    v_plane[rows, xc] = C
+    def filter_edge_col(xpel, ys0, ys1, xs_param):
+        """Filter edge at column xpel for SCU rows [ys0, ys1); strengths
+        come from the SCU column xs_param (the right-side block)."""
+        for ys in range(ys0, min(ys1, h_scu_max)):
+            st = int(job.db_ver_y[ys, xs_param])
+            if st:
+                yp = ys << 2
+                rows = slice(yp, yp + min(4, h - yp))
+                A, B, C, D = (y_plane[rows, xpel - 2], y_plane[rows, xpel - 1],
+                              y_plane[rows, xpel], y_plane[rows, xpel + 1])
+                A, B, C, D = deblock_luma_edge(A, B, C, D, st, bd_l)
+                y_plane[rows, xpel - 2] = A
+                y_plane[rows, xpel - 1] = B
+                y_plane[rows, xpel] = C
+                y_plane[rows, xpel + 1] = D
+            if cfi:
+                st_u = int(job.db_ver_u[ys, xs_param])
+                st_v = int(job.db_ver_v[ys, xs_param])
+                if st_u or st_v:
+                    xc = xpel >> cw_shift
+                    yp = (ys << 2) >> ch_shift
+                    rows = slice(yp, yp + (4 >> ch_shift))
+                    if st_u:
+                        A, B, C, D = (u_plane[rows, xc - 2],
+                                      u_plane[rows, xc - 1],
+                                      u_plane[rows, xc], u_plane[rows, xc + 1])
+                        B, C = deblock_chroma_edge(A, B, C, D, st_u, bd_c)
+                        u_plane[rows, xc - 1] = B
+                        u_plane[rows, xc] = C
+                    if st_v:
+                        A, B, C, D = (v_plane[rows, xc - 2],
+                                      v_plane[rows, xc - 1],
+                                      v_plane[rows, xc], v_plane[rows, xc + 1])
+                        B, C = deblock_chroma_edge(A, B, C, D, st_v, bd_c)
+                        v_plane[rows, xc - 1] = B
+                        v_plane[rows, xc] = C
+
+    for i in _cu_deblock_order(fs):
+        x0, y0 = fs.cu_x[i], fs.cu_y[i]
+        cuw = 1 << fs.cu_log2w[i]
+        cuh = 1 << fs.cu_log2h[i]
+        x_scu, y_scu = x0 >> 2, y0 >> 2
+        scuw, scuh = cuw >> 2, cuh >> 2
+        ys0, ys1 = y_scu, y_scu + scuh
+        if x0 > 0 and x0 < w and cod[y_scu, x_scu - 1]:
+            filter_edge_col(x0, ys0, ys1, x_scu)
+        if x0 + cuw < w and x_scu + scuw < fs.w_scu and \
+                cod[y_scu, x_scu + scuw]:
+            filter_edge_col(x0 + cuw, ys0, ys1, x_scu + scuw)
+        cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1

@@ -354,3 +354,54 @@ for _ly in range(1, MAX_CU_LOG2):
 TBL_LOG2 = np.zeros(257, dtype=np.int32)
 for _i in range(2, 257):
     TBL_LOG2[_i] = int(np.log2(_i))
+
+
+# ---------------------------------------------------------------------------
+# ADCC (advanced coefficient coding) constants
+# (ref: src_main/xevdm_tbl.c:390-402, src_main/xevdm_def.h:239-252)
+# ---------------------------------------------------------------------------
+LOG2_CG_SIZE = 4
+CAFLAG_NUMBER = 8
+ADCC_GROUP_IDX = [0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+                  8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9,
+                  10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10,
+                  10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 11,
+                  11, 11, 11, 11, 11, 11, 11, 11]
+ADCC_MIN_IN_GROUP = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96]
+ADCC_GO_RICE_RANGE = [6, 5, 6, 3, 3, 3, 3, 3, 3, 3]
+ADCC_GO_RICE_PARA = [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1,
+                     2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3]
+NUM_CTX_LAST_SIG_COEFF_LUMA = 18
+NUM_CTX_SIG_COEFF_LUMA = 39
+NUM_CTX_SIG_COEFF_LUMA_TU = 13
+NUM_CTX_GTX_LUMA = 13
+
+# inverse zigzag: INV_SCAN_TBL[(lw, lh)][raster] = scan position
+INV_SCAN_TBL = {}
+for _k, _scan in SCAN_TBL.items():
+    _inv = np.zeros_like(_scan)
+    _inv[_scan] = np.arange(len(_scan), dtype=np.int32)
+    INV_SCAN_TBL[_k] = _inv
+
+
+def adcc_last_pos_ctx_para(ch_type: int, width: int, height: int):
+    """Context offsets/shifts for last-position prefixes
+    (ref: src_base/xevd_util.c:1194-1219)."""
+    cw = max(int(TBL_LOG2[width]) - 2, 0)
+    ch = max(int(TBL_LOG2[height]) - 2, 0)
+    if ch_type == 0:
+        off_x = (cw * 3) + ((cw + 1) >> 2)
+        off_y = (ch * 3) + ((ch + 1) >> 2)
+        sh_x = (cw + 3) >> 2
+        sh_y = (ch + 3) >> 2
+        if cw >= 4:
+            off_x += ((width >> 6) << 1) + (width >> 7)
+            sh_x = 2
+        if ch >= 4:
+            off_y += ((height >> 6) << 1) + (height >> 7)
+            sh_y = 2
+    else:
+        off_x = off_y = 0
+        sh_x = cw - int(TBL_LOG2[width >> 4])   # TBL_LOG2[0] == 0
+        sh_y = ch - int(TBL_LOG2[height >> 4])
+    return off_x, off_y, sh_x, sh_y
