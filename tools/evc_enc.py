@@ -272,6 +272,62 @@ def write_pps() -> bytes:
     return _nalu(bw, T.NUT_PPS)
 
 
+def _alf_golomb_enc(bw: BitWriter, v: int, k: int, signed_val: bool):
+    """Mirror of aps.alf_golomb_decode."""
+    a = abs(v)
+    n = 0
+    while a >= ((1 << (n + 1)) - 1) << k:
+        n += 1
+    for _ in range(n):
+        bw.write1(0)
+    bw.write1(1)
+    if n + k > 0:
+        bw.write(a - (((1 << n) - 1) << k), n + k)
+    if signed_val and a != 0:
+        bw.write1(1 if v > 0 else 0)
+
+
+def write_aps_alf(aps_id, rng, num_filters=1, filter_type=0,
+                  chroma=True) -> bytes:
+    """ALF APS with random small coefficients (mirror of aps.parse_alf_aps,
+    ref: src_main/xevdm_eco.c:2396-2480)."""
+    from xevd_tpu.aps import GOLOMB_IDX_5, GOLOMB_IDX_7
+    bw = BitWriter()
+    bw.write(aps_id, 5)
+    bw.write(0, 3)            # aps_type_id = ALF
+    bw.write1(1)              # luma filter signal
+    bw.write1(1 if chroma else 0)
+    bw.write_ue(num_filters - 1)
+    bw.write1(filter_type)    # 0=5x5, 1=7x7
+    if num_filters > 1:
+        nbits = int(T.TBL_LOG2[num_filters - 1]) + 1
+        for _ in range(25):
+            bw.write(int(rng.integers(0, num_filters)), nbits)
+    _alf_golomb_enc(bw, 0, 0, False)   # fixed_filter_pattern = 0
+    # luma filter coefficients
+    bw.write1(0)              # coeff_delta_flag
+    if num_filters > 1:
+        bw.write1(0)          # coeff_delta_pred_mode_flag
+    ncoef = 13 if filter_type else 7
+    gidx = GOLOMB_IDX_7 if filter_type else GOLOMB_IDX_5
+    bw.write_ue(0)            # min_eg_order_minus1 -> kmin = 1
+    ngolomb = 3 if filter_type else 2
+    for _ in range(ngolomb):
+        bw.write1(0)          # eg order increase
+    for _ in range(num_filters):
+        for i in range(ncoef - 1):
+            _alf_golomb_enc(bw, int(rng.integers(-12, 13)), 1, True)
+    if chroma:
+        bw.write_ue(0)
+        for _ in range(2):
+            bw.write1(0)
+        for i in range(6):
+            _alf_golomb_enc(bw, int(rng.integers(-12, 13)), 1, True)
+    bw.write1(0)              # aps_extension_flag
+    bw.align()
+    return _nalu(bw, T.NUT_APS)
+
+
 def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0, tools=None,
              poc_lsb=0, rpl0=None, rpl1=None, temporal_mvp=0,
              collocated_from_list_idx=1, collocated_from_ref_idx=0,
@@ -1001,6 +1057,9 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
     out = write_sps(w, h, bd=bd, max_num_ref_pics=2,
                     log2_sub_gop_length=log2_sub_gop, profile=profile,
                     tools=tools) + write_pps()
+    if tools.alf:
+        # ALF APS present (inactive unless a slice references it)
+        out += write_aps_alf(0, rng, num_filters=4, filter_type=1)
 
     sps = _Sps()
     sps.log2_sub_gop_length = log2_sub_gop

@@ -287,6 +287,8 @@ class Decoder:
         self.pending_sei = []
         self.max_coding_delay = 0
         self.crc_results = []
+        self.aps_alf = [None] * 32
+        self.aps_dra = [None] * 32
 
     # -- API -----------------------------------------------------------
     def decode(self, nalu: bytes) -> Stat:
@@ -309,6 +311,17 @@ class Decoder:
                 if self.use_pic_signature:
                     stat.crc_ok = self._check_signature(sig)
                     self.crc_results.append(stat.crc_ok)
+        elif nut == T.NUT_APS:
+            # ALF (type 0) / DRA (type 1) parameter sets, buffered by id
+            # (ref: src_main/xevdm.c:2937-2991)
+            from .aps import parse_aps
+            bd = (self.sps.bit_depth_luma_minus8 + 8) if self.sps else 8
+            aps_id, aps_type, payload = parse_aps(bs, bd)
+            if payload is not None:
+                if aps_type == 0:
+                    self.aps_alf[aps_id] = payload
+                else:
+                    self.aps_dra[aps_id] = payload
         elif nut == T.NUT_FD:
             pass
         else:
