@@ -36,6 +36,23 @@ CASES = [
     ("m_adcc_i", 176, 144, 2, 30, 110, "I", ("adcc", "cm_init", "eipd")),
     ("m_adcc_p", 176, 144, 3, 33, 111, "IPPP",
      ("btt", "suco", "adcc", "cm_init", "eipd")),
+    ("m_admvp_p", 176, 144, 4, 30, 112, "IPPP",
+     ("admvp", "hmvp", "cm_init", "eipd")),
+    ("m_admvp_ra", 176, 144, 5, 30, 113, "RA",
+     ("admvp", "hmvp", "cm_init", "eipd")),
+    ("m_mmvd_p", 176, 144, 4, 30, 114, "IPPP",
+     ("admvp", "hmvp", "mmvd", "cm_init", "eipd")),
+    ("m_inter_all", 176, 144, 5, 31, 115, "RA",
+     ("admvp", "hmvp", "mmvd", "amvr", "btt", "suco", "adcc", "cm_init",
+      "eipd")),
+    ("m_iqt_i", 176, 144, 2, 30, 116, "I", ("iqt", "eipd", "cm_init")),
+    ("m_ats_i", 176, 144, 2, 30, 117, "I",
+     ("iqt", "ats", "eipd", "cm_init")),
+    ("m_ats_p", 176, 144, 3, 32, 118, "IPPP",
+     ("iqt", "ats", "admvp", "hmvp", "btt", "suco", "cm_init", "eipd")),
+    ("m_all_ra", 176, 144, 5, 31, 119, "RA",
+     ("iqt", "ats", "admvp", "hmvp", "mmvd", "amvr", "btt", "suco", "adcc",
+      "cm_init", "eipd")),
 ]
 
 

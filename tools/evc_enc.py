@@ -272,6 +272,11 @@ def write_pps() -> bytes:
     return _nalu(bw, T.NUT_PPS)
 
 
+def _s16v(v):
+    v = int(v) & 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
+
+
 def _alf_golomb_enc(bw: BitWriter, v: int, k: int, signed_val: bool):
     """Mirror of aps.alf_golomb_decode."""
     a = abs(v)
@@ -389,7 +394,8 @@ class FrameEncoder:
 
     def __init__(self, w, h, slice_type, qp, rng: np.random.Generator,
                  num_refp=0, prev_maps=None, density=0.5, refp=None,
-                 num_refp1=0, poc=0, tools=None, main=False):
+                 num_refp1=0, poc=0, tools=None, main=False,
+                 mmvd_group_enable=0):
         self.w, self.h = w, h
         self.slice_type = slice_type
         self.qp = qp
@@ -413,6 +419,20 @@ class FrameEncoder:
         self.map_logw = np.zeros((self.h_scu, self.w_scu), np.uint8)
         self.map_logh = np.zeros((self.h_scu, self.w_scu), np.uint8)
         self.is_main = main or self.tools.any_main()
+        # shared motion-derivation view over the encoder's decode-state maps
+        from types import SimpleNamespace
+
+        from xevd_tpu.motion import MotionMaps
+        self.mm = MotionMaps(self.w_scu, self.h_scu)
+        self.mm.map_mv = self.map_mv
+        self.mm.map_refi = self.map_refi
+        self.mm.cod = self.cod
+        self.mm.map_if = self.map_if
+        self.mmvd_group_enable = mmvd_group_enable
+        self.sh_mirror = SimpleNamespace(
+            slice_type=slice_type, temporal_mvp_asigned_flag=0,
+            collocated_from_list_idx=1, collocated_mvp_source_list_idx=0,
+            collocated_from_ref_idx=0)
         if self.tools.btt:
             class _S:
                 log2_min_cb_size_minus2 = 0
@@ -428,6 +448,9 @@ class FrameEncoder:
     def encode(self) -> bytes:
         ctu = T.CTU_SIZE_B
         for y0 in range(0, self.h, ctu):
+            if self.tools.hmvp:
+                # history resets per CTU row (ref: src_main/xevdm.c:2497)
+                self.mm.history = []
             for x0 in range(0, self.w, ctu):
                 if self.is_main:
                     self._tree_main(x0, y0, T.CTU_LOG2_B, T.CTU_LOG2_B, 0)
@@ -458,21 +481,23 @@ class FrameEncoder:
         else:
             self._cu(x0, y0, log2, log2)
 
-    # -- Main tree: BTT + SUCO (mirror of frame._decode_tree_main) --------
-    def _tree_main(self, x0, y0, lw, lh, parent_suco):
+    # -- Main tree: BTT + SUCO + local dual tree (mirror of
+    # frame._decode_tree_main) --------------------------------------------
+    def _tree_main(self, x0, y0, lw, lh, parent_suco,
+                   mode_cons=P.MODE_CONS_ALL):
         t = self.tools
         cuw, cuh = 1 << lw, 1 << lh
         inside = x0 + cuw <= self.w and y0 + cuh <= self.h
         if cuw > self.min_cuwh or cuh > self.min_cuwh:
             if inside:
-                split = self._enc_split_mode(x0, y0, lw, lh)
+                split = self._enc_split_mode(x0, y0, lw, lh, mode_cons)
             else:
                 boundary_b = (y0 + cuh > self.h) and not (x0 + cuw > self.w)
                 boundary_r = (x0 + cuw > self.w) and not (y0 + cuh > self.h)
                 if t.btt:
                     allow = P.check_split_mode(
                         lw, lh, 1, boundary_b, boundary_r, T.CTU_LOG2_B,
-                        x0, y0, self.w, self.h, self.split_tbl, 1)
+                        x0, y0, self.w, self.h, self.split_tbl, 1, mode_cons)
                     split = (P.SPLIT_BI_VER if allow[P.SPLIT_BI_VER]
                              else P.SPLIT_BI_HOR)
                 else:
@@ -486,17 +511,47 @@ class FrameEncoder:
         suco_flag = self._enc_suco_flag(cuw, cuh, split, bound, parent_suco)
 
         if split != P.NO_SPLIT:
+            mode_cons_child = mode_cons
+            mode_changed = False
+            if t.btt and t.admvp:
+                mode_changed = (mode_cons == P.MODE_CONS_ALL
+                                and not P.chroma_split_allowed(cuw, cuh,
+                                                               split))
+                if mode_changed:
+                    if (self.slice_type == T.SLICE_I
+                            or P.mode_cons_by_split(split, cuw, cuh)
+                            == P.MODE_CONS_ONLY_INTRA):
+                        mode_cons_child = P.MODE_CONS_ONLY_INTRA
+                    else:
+                        # mode_cons ctx is always 0 in the reference
+                        mode_cons_child = (P.MODE_CONS_ONLY_INTRA
+                                           if self.rng.random() < 0.5
+                                           else P.MODE_CONS_ONLY_INTER)
+                        self.sb.encode_bin(
+                            self.sb.ctx.mode_cons, 0,
+                            1 if mode_cons_child == P.MODE_CONS_ONLY_INTRA
+                            else 0)
             parts = P.part_structure(split, x0, y0, lw, lh)
             order = P.suco_order(suco_flag if P.is_vertical(split) else 0,
                                  split)
             for pn in order:
                 xs, ys, plw, plh = parts[pn]
                 if xs < self.w and ys < self.h:
-                    self._tree_main(xs, ys, plw, plh, suco_flag)
+                    self._tree_main(xs, ys, plw, plh, suco_flag,
+                                    mode_cons_child)
+            if mode_changed and mode_cons_child == P.MODE_CONS_ONLY_INTRA:
+                self._cu(x0, y0, lw, lh, tree_type=P.TREE_C,
+                         mode_cons=P.MODE_CONS_ONLY_INTRA)
         else:
-            self._cu(x0, y0, lw, lh)
+            tree_type = (P.TREE_L if mode_cons == P.MODE_CONS_ONLY_INTRA
+                         else P.TREE_LC)
+            if self.slice_type == T.SLICE_I or (
+                    t.admvp and lw == 2 and lh == 2):
+                mode_cons = P.MODE_CONS_ONLY_INTRA
+            self._cu(x0, y0, lw, lh, tree_type=tree_type,
+                     mode_cons=mode_cons)
 
-    def _enc_split_mode(self, x0, y0, lw, lh):
+    def _enc_split_mode(self, x0, y0, lw, lh, mode_cons=P.MODE_CONS_ALL):
         """Mirror of frame._read_split_mode_main."""
         sb = self.sb
         rng = self.rng
@@ -509,7 +564,8 @@ class FrameEncoder:
             return P.SPLIT_QUAD if split else P.NO_SPLIT
 
         allow = P.check_split_mode(lw, lh, 0, 0, 0, T.CTU_LOG2_B, x0, y0,
-                                   self.w, self.h, self.split_tbl, 1)
+                                   self.w, self.h, self.split_tbl, 1,
+                                   mode_cons)
         cands = [m for m in (P.SPLIT_BI_VER, P.SPLIT_BI_HOR,
                              P.SPLIT_TRI_VER, P.SPLIT_TRI_HOR) if allow[m]]
         if not cands:
@@ -568,7 +624,8 @@ class FrameEncoder:
         return sf
 
     # -- CU ---------------------------------------------------------------
-    def _cu(self, x, y, log2w, log2h):
+    def _cu(self, x, y, log2w, log2h, tree_type=P.TREE_LC,
+            mode_cons=P.MODE_CONS_ALL):
         sb = self.sb
         ctx = sb.ctx
         rng = self.rng
@@ -578,43 +635,96 @@ class FrameEncoder:
         scuw = cuw >> 2
         scuh = cuh >> 2
 
+        if tree_type == P.TREE_C:
+            self._cu_chroma_only(x, y, log2w, log2h)
+            return
+
         is_inter_slice = self.slice_type != T.SLICE_I
         is_b = self.slice_type == T.SLICE_B
+        admvp = bool(self.tools.admvp)
+        only_intra = mode_cons == P.MODE_CONS_ONLY_INTRA or (
+            admvp and cuw == 4 and cuh == 4 and self.is_main)
+        only_inter = mode_cons == P.MODE_CONS_ONLY_INTER
+        luma_only = tree_type == P.TREE_L
         ctx_skip = ctx_pred = 0
-        if self.tools.cm_init and is_inter_slice:
+        if self.tools.cm_init and is_inter_slice and not only_intra:
             from xevd_tpu.frame import get_ctx_some_flags
             ctx_skip, ctx_pred = get_ctx_some_flags(
                 x_scu, y_scu, scuw, scuh, self.w_scu, self.map_skip,
                 self.map_if, self.cod)
         skip = 0
-        if is_inter_slice:
+        if is_inter_slice and not only_intra:
             skip = int(rng.random() < 0.3)
             sb.encode_bin(ctx.skip_flag, ctx_skip, skip)
 
         if skip:
-            mvp_idx = int(rng.integers(0, 4))
-            sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx)
-            mv0 = self._mvp_candidates(x_scu, y_scu, scuw, 0)[mvp_idx]
-            if is_b:
-                mvp_idx1 = int(rng.integers(0, 4))
-                sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx1)
-                mv1 = self._mvp_candidates(x_scu, y_scu, scuw, 1)[mvp_idx1]
-                self._set_inter(x_scu, y_scu, scuw, scuh, [0, 0],
-                                np.array([mv0, mv1]), intra=False, skip=True)
+            if admvp:
+                mmvd = 0
+                if self.tools.mmvd:
+                    mmvd = int(rng.random() < 0.4)
+                    sb.encode_bin(ctx.mmvd_flag, 0, mmvd)
+                if mmvd:
+                    refi, mv = self._enc_mmvd(x_scu, y_scu, cuw, cuh,
+                                              log2w, log2h)
+                else:
+                    refi, mv = self._enc_merge_idx(x_scu, y_scu, cuw, cuh)
+                self._set_inter(x_scu, y_scu, scuw, scuh, refi,
+                                np.array(mv), intra=False, skip=True)
             else:
-                self._set_inter(x_scu, y_scu, scuw, scuh, [0, -1],
-                                np.array([mv0, [0, 0]]), intra=False,
-                                skip=True)
+                mvp_idx = int(rng.integers(0, 4))
+                sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx)
+                mv0 = self._mvp_candidates(x_scu, y_scu, scuw, 0)[mvp_idx]
+                if is_b:
+                    mvp_idx1 = int(rng.integers(0, 4))
+                    sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx1)
+                    mv1 = self._mvp_candidates(x_scu, y_scu, scuw, 1)[mvp_idx1]
+                    self._set_inter(x_scu, y_scu, scuw, scuh, [0, 0],
+                                    np.array([mv0, mv1]), intra=False,
+                                    skip=True)
+                else:
+                    self._set_inter(x_scu, y_scu, scuw, scuh, [0, -1],
+                                    np.array([mv0, [0, 0]]), intra=False,
+                                    skip=True)
             self.map_logw[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2w
             self.map_logh[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2h
             return
 
         intra = 1
-        if is_inter_slice:
+        if only_inter:
+            intra = 0
+        elif is_inter_slice and not only_intra:
             intra = int(rng.random() < 0.35)
             sb.encode_bin(ctx.pred_mode, ctx_pred, intra)
 
-        if not intra:
+        if not intra and admvp:
+            mvr_idx = 0
+            if self.tools.amvr:
+                mvr_idx = int(rng.choice([0, 0, 1, 2, 3, 4]))
+                sb.trunc_unary(ctx.mvr_idx, 5, 5, mvr_idx)
+            merge = 0
+            if mvr_idx == 0:
+                merge = int(rng.random() < 0.3)
+                sb.encode_bin(ctx.merge_mode_flag, 0, merge)
+            if merge:
+                mmvd = 0
+                if self.tools.mmvd:
+                    mmvd = int(rng.random() < 0.4)
+                    sb.encode_bin(ctx.mmvd_flag, 0, mmvd)
+                if mmvd:
+                    refi, mv = self._enc_mmvd(x_scu, y_scu, cuw, cuh,
+                                              log2w, log2h)
+                else:
+                    refi, mv = self._enc_merge_idx(x_scu, y_scu, cuw, cuh)
+                self._set_inter(x_scu, y_scu, scuw, scuh, refi,
+                                np.array(mv), intra=False, skip=False)
+                cbf = self._enc_cbf(intra=False, no_cbf=True)
+            else:
+                refi, mv = self._enc_inter_admvp(x_scu, y_scu, cuw, cuh,
+                                                 mvr_idx)
+                self._set_inter(x_scu, y_scu, scuw, scuh, refi,
+                                np.array(mv), intra=False, skip=False)
+                cbf = self._enc_cbf(intra=False, no_cbf=False)
+        elif not intra:
             direct = 0
             if is_b:
                 direct = int(rng.random() < 0.3)
@@ -668,24 +778,156 @@ class FrameEncoder:
         else:
             if self.tools.eipd:
                 ipm = self._enc_intra_dir_main(x_scu, y_scu, cuw, cuh)
-                ipm_c = self._enc_intra_dir_c(ipm)
+                if not luma_only:
+                    ipm_c = self._enc_intra_dir_c(ipm)
             else:
                 ipm = int(rng.integers(0, 5))
                 self._enc_intra_dir(ipm, x_scu, y_scu)
             self._set_intra(x_scu, y_scu, scuw, scuh, ipm)
-            cbf = self._enc_cbf(intra=True, no_cbf=False)
+            cbf = self._enc_cbf(intra=True, no_cbf=False,
+                                luma_only=luma_only)
+
+        # ATS syntax (mirror of frame._decode_coef ordering)
+        ats_inter = 0
+        if self.tools.ats:
+            if intra and cbf[0] and log2w <= 5 and log2h <= 5:
+                ats_cu = int(rng.random() < 0.5)
+                sb.encode_bin_ep(ats_cu)
+                if ats_cu:
+                    sb.encode_bin(ctx.ats_mode, 0, int(rng.random() < 0.5))
+                    sb.encode_bin(ctx.ats_mode, 0, int(rng.random() < 0.5))
+            elif not intra:
+                avail = T.check_ats_inter_avail(cuw, cuh, 1, 1)
+                if avail and any(cbf):
+                    ats_inter = self._enc_ats_inter(log2w, log2h, avail)
 
         # coefficients, Y then U then V (ref: src_base/xevd_eco.c:676-733)
         if cbf[0]:
-            self._enc_coef_block(log2w, log2h, 0)
-        if cbf[1]:
-            self._enc_coef_block(log2w - 1, log2h - 1, 1)
-        if cbf[2]:
-            self._enc_coef_block(log2w - 1, log2h - 1, 1)
+            ltw, lth = T.ats_inter_tu_size(ats_inter, log2w, log2h)
+            self._enc_coef_block(ltw, lth, 0)
+        if cbf[1] or cbf[2]:
+            ltw, lth = T.ats_inter_tu_size(ats_inter, log2w - 1, log2h - 1)
+            if cbf[1]:
+                self._enc_coef_block(ltw, lth, 1)
+            if cbf[2]:
+                self._enc_coef_block(ltw, lth, 1)
 
         self.cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
         self.map_logw[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2w
         self.map_logh[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2h
+
+    def _enc_merge_idx(self, x_scu, y_scu, cuw, cuh):
+        """Choose + encode a merge index; returns the resulting (refi, mv)
+        via the shared merge-list derivation."""
+        from xevd_tpu.motion import get_motion_merge_main
+        sb = self.sb
+        max_cand = 4 if cuw * cuh <= 32 else 6
+        midx = int(self.rng.integers(0, max_cand))
+        sb.trunc_unary(sb.ctx.merge_idx, 5, 6, midx)
+        lr = self.mm.avail_lr(x_scu, y_scu, cuw >> 2)
+        refi_l, mvp_l = get_motion_merge_main(
+            self.poc, self.slice_type, self.mm, self.refp, x_scu, y_scu,
+            cuw, cuh, lr, self.sh_mirror, T.CTU_LOG2_B)
+        refi = [refi_l[0][midx], refi_l[1][midx]]
+        mv = [list(mvp_l[0][midx]), list(mvp_l[1][midx])]
+        if self.slice_type == T.SLICE_P:
+            refi[1] = -1
+            mv[1] = [0, 0]
+        return refi, mv
+
+    def _enc_mmvd(self, x_scu, y_scu, cuw, cuh, log2w, log2h):
+        """Choose + encode an MMVD index (mirror of frame._read_mmvd_data);
+        returns the derived (refi, mv)."""
+        from xevd_tpu.motion import get_mmvd_motion
+        sb = self.sb
+        ctx = sb.ctx
+        rng = self.rng
+        small_cu = cuw * cuh <= 32
+        group = 0 if small_cu else int(rng.integers(0, 3))
+        base = int(rng.integers(0, 4))
+        dist = int(rng.integers(0, 8))
+        dirx = int(rng.integers(0, 4))
+        idx = group * 128 + base * 32 + dist * 4 + dirx
+        type_ = (self.mmvd_group_enable
+                 and not ((1 << (log2w + log2h)) <= 32))
+        if type_:
+            sb.encode_bin(ctx.mmvd_group_idx, 0, 1 if group else 0)
+            if group:
+                sb.encode_bin(ctx.mmvd_group_idx, 1, group - 1)
+        else:
+            idx = base * 32 + dist * 4 + dirx  # group forced 0
+        sb.trunc_unary(ctx.mmvd_merge_idx, 3, 4, base)
+        sb.trunc_unary(ctx.mmvd_distance_idx, 7, 8, dist)
+        sb.encode_bin(ctx.mmvd_direction_idx, 0, (dirx >> 1) & 1)
+        sb.encode_bin(ctx.mmvd_direction_idx, 1, dirx & 1)
+        lr = self.mm.avail_lr(x_scu, y_scu, cuw >> 2)
+        nrefp = (self.num_refp, self.num_refp1)
+        refi, mv = get_mmvd_motion(idx, self.poc, self.slice_type, self.mm,
+                                   self.refp, nrefp, x_scu, y_scu, cuw, cuh,
+                                   lr, self.sh_mirror, T.CTU_LOG2_B)
+        if self.slice_type == T.SLICE_P:
+            refi[1] = -1
+            mv[1] = [0, 0]
+        return refi, mv
+
+    def _enc_inter_admvp(self, x_scu, y_scu, cuw, cuh, mvr_idx=0):
+        """Non-merge ADMVP inter CU: inter_dir, bi_idx, refi, mvd."""
+        from xevd_tpu.motion import (check_bi_applicability, get_first_refi,
+                                     get_motion_from_mvr)
+        sb = self.sb
+        ctx = sb.ctx
+        rng = self.rng
+        is_b = self.slice_type == T.SLICE_B
+        if is_b:
+            inter_dir = int(rng.choice([T.PRED_L0, T.PRED_L1, T.PRED_BI]))
+            bi_ok = check_bi_applicability(self.slice_type, cuw, cuh)
+            if not bi_ok and inter_dir == T.PRED_BI:
+                inter_dir = T.PRED_L0
+            if inter_dir == T.PRED_BI:
+                sb.encode_bin(ctx.inter_dir, 0, 0)
+            else:
+                if bi_ok:
+                    sb.encode_bin(ctx.inter_dir, 0, 1)
+                sb.encode_bin(ctx.inter_dir, 1,
+                              1 if inter_dir == T.PRED_L1 else 0)
+        else:
+            inter_dir = T.PRED_L0
+        bi = 0
+        if inter_dir == T.PRED_BI:
+            bi = int(rng.choice([1, 1, 2, 3]))  # BI_NORMAL twice as likely
+            v = bi - 1
+            sb.encode_bin(ctx.bi_idx, 0, 1 if v == 0 else 0)
+            if v != 0:
+                sb.encode_bin(ctx.bi_idx, 1, 1 if v == 1 else 0)
+        lr = self.mm.avail_lr(x_scu, y_scu, cuw >> 2)
+        hmvp = bool(self.tools.hmvp)
+        refi_out = [-1, -1]
+        mv_out = [[0, 0], [0, 0]]
+        for lidx in range(2):
+            if not (((inter_dir + 1) >> lidx) & 1):
+                continue
+            nrefp = self.num_refp if lidx == 0 else self.num_refp1
+            if bi in (2, 3):
+                refi = get_first_refi(self.mm, x_scu, y_scu, cuw, cuh,
+                                      lidx, mvr_idx, lr, hmvp)
+            else:
+                refi = int(rng.integers(0, nrefp))
+                self._enc_refi(refi, nrefp)
+            if bi != 2 + lidx:
+                mvd = (int(rng.integers(-32, 33)), int(rng.integers(-32, 33)))
+                for d in range(2):
+                    sb.abs_mvd(ctx.mvd, abs(mvd[d]))
+                    if mvd[d]:
+                        sb.encode_bin_ep(1 if mvd[d] < 0 else 0)
+            else:
+                mvd = (0, 0)
+            mvp0 = get_motion_from_mvr(mvr_idx, self.poc, self.mm, x_scu,
+                                       y_scu, lidx, refi, nrefp, self.refp,
+                                       cuw, cuh, lr, hmvp)
+            mv_out[lidx] = [_s16v(mvp0[0] + (mvd[0] << mvr_idx)),
+                            _s16v(mvp0[1] + (mvd[1] << mvr_idx))]
+            refi_out[lidx] = refi
+        return refi_out, mv_out
 
     def _enc_intra_dir_main(self, x_scu, y_scu, cuw, cuh):
         """EIPD luma mode: pick a decodable mode at random, then encode it
@@ -755,11 +997,71 @@ class FrameEncoder:
                     for r in range(2, num_refp - 1):
                         self.sb.encode_bin_ep(1 if refi > r else 0)
 
-    def _enc_cbf(self, intra, no_cbf):
+    def _cu_chroma_only(self, x, y, log2w, log2h):
+        """TREE_C dual-tree unit: chroma intra dir + chroma coefficients
+        (mirror of the decoder's TREE_C path)."""
+        sb = self.sb
+        rng = self.rng
+        x_scu, y_scu = x >> 2, y >> 2
+        scuw, scuh = (1 << log2w) >> 2, (1 << log2h) >> 2
+        yc = y_scu + (scuh >> 1)
+        xc = x_scu + (scuw >> 1)
+        if self.tools.eipd:
+            if self.map_if[yc, xc]:
+                ipm = int(self.map_ipm[yc, xc])
+            else:
+                ipm = 0
+            self._enc_intra_dir_c(ipm)
+        cbf = [int(rng.random() < self.density * 0.6),
+               int(rng.random() < self.density * 0.6)]
+        sb.encode_bin(sb.ctx.cbf_cb, 0, cbf[0])
+        sb.encode_bin(sb.ctx.cbf_cr, 0, cbf[1])
+        if cbf[0]:
+            self._enc_coef_block(log2w - 1, log2h - 1, 1)
+        if cbf[1]:
+            self._enc_coef_block(log2w - 1, log2h - 1, 1)
+
+    def _enc_ats_inter(self, log2w, log2h, avail):
+        """Choose + encode ats_inter_info (mirror of
+        frame._read_ats_inter_info)."""
+        sb = self.sb
+        ctx = sb.ctx
+        rng = self.rng
+        mode_vert = avail & 1
+        mode_hori = (avail >> 1) & 1
+        mode_vert_quad = (avail >> 2) & 1
+        mode_hori_quad = (avail >> 3) & 1
+        cands = [(q, h) for q in (0, 1) for h in (0, 1)
+                 if (q and (mode_hori_quad if h else mode_vert_quad))
+                 or (not q and (mode_hori if h else mode_vert))]
+        flag = int(rng.random() < 0.5) if cands else 0
+        cm = bool(self.tools.cm_init)
+        ctx_f = (0 if log2w + log2h >= 8 else 1) if cm else 0
+        sb.encode_bin(ctx.ats_cu_inter_flag, ctx_f, flag)
+        if not flag:
+            return 0
+        quad, hor = cands[int(rng.integers(0, len(cands)))]
+        pos = int(rng.random() < 0.5)
+        if (mode_vert_quad or mode_hori_quad) and (mode_vert or mode_hori):
+            sb.encode_bin(ctx.ats_cu_inter_quad_flag, 0, quad)
+        if (quad and mode_vert_quad and mode_hori_quad) or \
+                (not quad and mode_vert and mode_hori):
+            ctx_h = ((0 if log2w == log2h else (1 if log2w < log2h else 2))
+                     if cm else 0)
+            sb.encode_bin(ctx.ats_cu_inter_hor_flag, ctx_h, hor)
+        sb.encode_bin(ctx.ats_cu_inter_pos_flag, 0, pos)
+        idx = (2 if quad else 0) + (1 if hor else 0) + 1
+        return idx + (pos << 4)
+
+    def _enc_cbf(self, intra, no_cbf, luma_only=False):
         rng = self.rng
         d = self.density
         cbf = [int(rng.random() < d), int(rng.random() < d * 0.6),
                int(rng.random() < d * 0.6)]
+        if luma_only:
+            cbf[1] = cbf[2] = 0
+            self.sb.encode_bin(self.sb.ctx.cbf_luma, 0, cbf[0])
+            return cbf
         ctx = self.sb.ctx
         if not intra:
             if not no_cbf:
@@ -787,6 +1089,27 @@ class FrameEncoder:
             return self._enc_coef_adcc(log2w, log2h, ch_type)
         return self._enc_coef_rl(log2w, log2h, ch_type)
 
+    def _level_cap(self):
+        """Keep dequantized magnitudes within a realistic range: the
+        reference binary's SIMD transform paths overflow 32-bit lanes on
+        coefficient levels a real encoder can never produce (dequant output
+        beyond the transform dynamic range)."""
+        from xevd_tpu.ops.ref_numpy import qp_scale
+        scale = qp_scale(self.qp, bool(self.tools.iqt))
+        return max(1, min(23, (16384 << 1) // scale))
+
+    def _coef_position_pool(self, log2w, log2h):
+        """Candidate nonzero raster positions.  With tool_iqt the reference
+        binary's AVX 64-point inverse transform ignores frequencies >= 32
+        (encoder zero-out assumption, src_main/avx/xevdm_itdq_avx.c:1147),
+        so restrict accordingly to stay within the oracle's domain."""
+        w, h = 1 << log2w, 1 << log2h
+        if self.tools.iqt and (w == 64 or h == 64):
+            xs = np.arange(w * h) % w
+            ys = np.arange(w * h) // w
+            return np.nonzero((xs < min(w, 32)) & (ys < min(h, 32)))[0]
+        return np.arange(w * h)
+
     def _enc_coef_adcc(self, log2w, log2h, ch_type):
         """Random coefficients in ADCC form — exact mirror of
         frame._read_coef_adcc (ref: src_main/xevdm_eco.c:492-693)."""
@@ -797,11 +1120,14 @@ class FrameEncoder:
         n = width * height
         # random sparse block
         target = np.zeros(n, np.int32)
-        nnz = int(rng.integers(1, max(2, n // 4)))
-        ppos = rng.choice(n, size=nnz, replace=False)
-        mag = rng.integers(1, 24, size=nnz)
+        pool = self._coef_position_pool(log2w, log2h)
+        nnz = int(rng.integers(1, max(2, len(pool) // 4)))
+        ppos = rng.choice(pool, size=min(nnz, len(pool)), replace=False)
+        nnz = len(ppos)
+        cap = self._level_cap()
+        mag = rng.integers(1, cap + 1, size=nnz)
         big = rng.random(nnz) < 0.15
-        mag = np.where(big, mag * 8, mag)
+        mag = np.minimum(np.where(big, mag * 8, mag), cap)
         sign = rng.integers(0, 2, size=nnz)
         target[ppos] = np.where(sign, -mag, mag)
 
@@ -969,9 +1295,14 @@ class FrameEncoder:
         """Random sparse levels in zigzag run/level form."""
         rng = self.rng
         n = 1 << (log2w + log2h)
+        pool_raster = self._coef_position_pool(log2w, log2h)
+        scanp = T.SCAN_TBL[(log2w, log2h)]
+        ok = np.zeros(n, bool)
+        ok[pool_raster] = True
+        pool_scan = np.nonzero(ok[scanp])[0]   # scan positions within pool
+        nnz = max(1, int(rng.integers(1, max(2, len(pool_scan) // 4))))
         nnz_positions = sorted(rng.choice(
-            n, size=max(1, int(rng.integers(1, max(2, n // 4)))),
-            replace=False))
+            pool_scan, size=min(nnz, len(pool_scan)), replace=False))
         sb = self.sb
         ctx = sb.ctx
         cm = bool(self.tools.cm_init)
@@ -985,7 +1316,7 @@ class FrameEncoder:
                 t0 = 0 if ch_type == 0 else 2
             run = pos - prev - 1
             sb.unary(ctx.run, t0, 2, run)
-            level = int(rng.integers(1, 24))
+            level = int(rng.integers(1, self._level_cap() + 1))
             prev_level = level
             sb.unary(ctx.level, t0, 2, level - 1)
             sb.encode_bin_ep(int(rng.random() < 0.5))
@@ -1025,6 +1356,9 @@ class FrameEncoder:
         self.map_refi[ys, xs, 1] = refi[1]
         self.map_mv[ys, xs] = np.asarray(mv, np.int16)
         self.cod[ys, xs] = 1
+        if self.tools.hmvp:
+            mva = np.asarray(mv, np.int64)
+            self.mm.history_update(refi, mva)
 
     def _set_intra(self, x_scu, y_scu, scuw, scuh, ipm):
         ys = slice(y_scu, y_scu + scuh)
@@ -1102,11 +1436,14 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
         refp = pm.refp_init(st, poc.poc_val, tid, last_intra_poc)
         num_refp = tuple(pm.num_refp)
 
-        sh = write_sh(st, qp, nut, tools=tools)
+        mmvd_grp = 1 if tools.mmvd else 0
+        sh = write_sh(st, qp, nut, tools=tools, mmvd_group=mmvd_grp)
         fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
                           density=density, refp=refp, num_refp1=num_refp[1],
                           poc=poc.poc_val, tools=tools,
-                          main=profile in (1, 3))
+                          main=profile in (1, 3),
+                          mmvd_group_enable=mmvd_grp if st != T.SLICE_I
+                          else 0)
         payload = fe.encode()
         out += _nalu(sh, nut, tid, payload)
 
@@ -1197,6 +1534,10 @@ def main():
                     help="comma list of main tools to enable, e.g. eipd,adcc")
     args = ap.parse_args()
     tools = Tools(**{k: 1 for k in args.tools.split(",") if k})
+    if tools.ats and not tools.iqt:
+        tools.iqt = 1      # SPS signals ATS under tool_iqt
+    if tools.adcc and not tools.cm_init:
+        tools.cm_init = 1  # SPS signals ADCC under tool_cm_init
     data = encode_stream(args.width, args.height, args.frames, args.qp,
                          args.seed, args.gop, bd=args.bitdepth,
                          profile=args.profile, tools=tools)

@@ -112,6 +112,8 @@ class NumpyPixelBackend:
         n = fs.num_cus()
 
         # 1) residuals for every coded TU (batched-friendly; here per CU)
+        is_main = bool(getattr(sps, "is_main", False))
+        iqt = bool(is_main and sps.tool_iqt)
         resid = {}
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_SKIP:
@@ -119,24 +121,51 @@ class NumpyPixelBackend:
             x, y = fs.cu_x[i], fs.cu_y[i]
             lw_, lh_ = fs.cu_log2w[i], fs.cu_log2h[i]
             cbf = fs.cu_cbf[i]
+            ats_cu, ats_mode, ats_inter =                 fs.cu_ats[i] if fs.cu_ats else (0, 0, 0)
             r = [None, None, None]
             if cbf[0]:
-                blk = fs.coef_y[y:y + (1 << lh_), x:x + (1 << lw_)]
                 qp_y = fs.cu_qp[i] + 6 * (bd - 8)
-                r[0] = RN.itdq_block(blk, lw_, lh_, RN.qp_scale(qp_y), bd)
+                scale = RN.qp_scale(qp_y, iqt)
+                if ats_inter:
+                    ltw, lth = T.ats_inter_tu_size(ats_inter, lw_, lh_)
+                    xo, yo = T.ats_inter_tu_offset(ats_inter, lw_, lh_)
+                    a_cu, a_mode = T.ats_inter_trs(ats_inter, lw_, lh_)
+                    blk = fs.coef_y[y + yo:y + yo + (1 << lth),
+                                    x + xo:x + xo + (1 << ltw)]
+                    rb = RN.itdq_block(blk, ltw, lth, scale, bd, iqt,
+                                       a_cu, a_mode)
+                    r[0] = np.zeros((1 << lh_, 1 << lw_), np.int16)
+                    r[0][yo:yo + (1 << lth), xo:xo + (1 << ltw)] = rb
+                else:
+                    blk = fs.coef_y[y:y + (1 << lh_), x:x + (1 << lw_)]
+                    r[0] = RN.itdq_block(blk, lw_, lh_, scale, bd, iqt,
+                                         ats_cu, ats_mode)
             if cfi and (cbf[1] or cbf[2]):
                 lw, lh = lw_ - cw_s, lh_ - ch_s
                 xc, yc = x >> cw_s, y >> ch_s
+                ltw, lth = T.ats_inter_tu_size(ats_inter, lw, lh)
+                xo, yo = T.ats_inter_tu_offset(ats_inter, lw, lh)
+
+                def chroma_resid(plane, qp):
+                    blk = plane[yc + yo:yc + yo + (1 << lth),
+                                xc + xo:xc + xo + (1 << ltw)]
+                    rb = RN.itdq_block(blk, ltw, lth,
+                                       RN.qp_scale(qp, iqt), bd, iqt)
+                    if not ats_inter:
+                        return rb
+                    out = np.zeros((1 << lh, 1 << lw), np.int16)
+                    out[yo:yo + (1 << lth), xo:xo + (1 << ltw)] = rb
+                    return out
+
                 if cbf[1]:
-                    blk = fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)]
-                    r[1] = RN.itdq_block(blk, lw, lh, RN.qp_scale(fs.cu_qp_u[i]), bd)
+                    r[1] = chroma_resid(fs.coef_u, fs.cu_qp_u[i])
                 if cbf[2]:
-                    blk = fs.coef_v[yc:yc + (1 << lh), xc:xc + (1 << lw)]
-                    r[2] = RN.itdq_block(blk, lw, lh, RN.qp_scale(fs.cu_qp_v[i]), bd)
+                    r[2] = chroma_resid(fs.coef_v, fs.cu_qp_v[i])
             if any(v is not None for v in r):
                 resid[i] = r
 
         # 2) inter CUs (MODE_SKIP / DIR / INTER): batched MC, no intra deps
+        main_taps = bool(getattr(sps, "is_main", False) and sps.tool_admvp)
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_INTRA:
                 continue
@@ -159,17 +188,20 @@ class NumpyPixelBackend:
                 fy = (int(mv[lidx][1]) << 2) & 15
                 pad = pic.pad_l
                 py = RN.mc_luma(pic.y, gx16 + (pad << 4), gy16 + (pad << 4),
-                                fx, fy, cuw, cuh, bd, pad)
+                                fx, fy, cuw, cuh, bd, pad,
+                                main_taps=main_taps)
                 if cfi:
                     fx_c = (int(mv[lidx][0]) << 2) & 31
                     fy_c = (int(mv[lidx][1]) << 2) & 31
                     pad_c = pic.pad_c
                     pu = RN.mc_chroma(pic.u, gx16 + (pad_c << 5),
                                       gy16 + (pad_c << 5), fx_c, fy_c,
-                                      cuw >> cw_s, cuh >> ch_s, bd_c)
+                                      cuw >> cw_s, cuh >> ch_s, bd_c,
+                                      main_taps=main_taps)
                     pv = RN.mc_chroma(pic.v, gx16 + (pad_c << 5),
                                       gy16 + (pad_c << 5), fx_c, fy_c,
-                                      cuw >> cw_s, cuh >> ch_s, bd_c)
+                                      cuw >> cw_s, cuh >> ch_s, bd_c,
+                                      main_taps=main_taps)
                 else:
                     pu = pv = None
                 preds.append((py, pu, pv))
@@ -237,11 +269,13 @@ class NumpyPixelBackend:
                     rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(
                         pv, r[2], bool(cbf[2]), bd)
                 continue
-            left, up, corner = RN.build_nbr(rec_y, x, y, cuw, cuh, up_m, le_m,
-                                            co, 4, bd)
-            py = RN.ipred_b(left, up, corner, ipm, cuw, cuh)
-            rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0], bool(cbf[0]), bd)
-            if cfi:
+            if tree != 2:  # TREE_C units carry no luma
+                left, up, corner = RN.build_nbr(rec_y, x, y, cuw, cuh, up_m,
+                                                le_m, co, 4, bd)
+                py = RN.ipred_b(left, up, corner, ipm, cuw, cuh)
+                rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0],
+                                                       bool(cbf[0]), bd)
+            if cfi and tree != 1:  # TREE_L units carry no chroma
                 xc, yc = x >> cw_s, y >> ch_s
                 wc, hc = cuw >> cw_s, cuh >> ch_s
                 left, up, corner = RN.build_nbr(rec_u, xc, yc, wc, hc, up_m,
@@ -421,7 +455,8 @@ class Decoder:
                                  log2_ctu=self.log2_ctu)
             fs = ent.decode_slice(bs, sh, num_refp)
         job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
-                           self.chroma_qp_tbl)
+                           self.chroma_qp_tbl, num_refp=num_refp,
+                           log2_ctu=self.log2_ctu)
         rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
 
         # build / recycle picture with padded planes

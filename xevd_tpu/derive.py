@@ -52,16 +52,23 @@ class FrameJob:
 
 
 def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
-                 chroma_qp_tbl) -> FrameJob:
+                 chroma_qp_tbl, num_refp=(0, 0), log2_ctu=6) -> FrameJob:
     """Decode-order host pass (ref: recon-phase logic of src_base/xevd.c)."""
+    from .motion import (MotionMaps, get_first_refi, get_motion_from_mvr,
+                         get_motion_merge_main)
     job = FrameJob(fs=fs, bit_depth=sps.bit_depth_luma_minus8 + 8,
                    chroma_format_idc=sps.chroma_format_idc)
     h_scu, w_scu = fs.h_scu, fs.w_scu
     n = fs.num_cus()
 
-    map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int16)
-    map_refi = np.full((h_scu, w_scu, 2), T.REFI_INVALID, dtype=np.int8)
-    cod = np.zeros((h_scu, w_scu), dtype=np.uint8)
+    mm = MotionMaps(w_scu, h_scu)
+    mm.map_if = fs.map_if
+    map_mv = mm.map_mv
+    map_refi = mm.map_refi
+    cod = mm.cod
+    is_main_sps = getattr(sps, "is_main", False)
+    use_admvp = bool(is_main_sps and sps.tool_admvp)
+    hmvp = bool(is_main_sps and sps.tool_hmvp)
 
     cu_mv = np.zeros((n, 2, 2), dtype=np.int32)
     cu_refi = np.full((n, 2), T.REFI_INVALID, dtype=np.int32)
@@ -76,10 +83,18 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     map_if = fs.map_if
     constrained = pps.constrained_intra_pred_flag
 
+    cur_ctu_row = -1
     for i in range(n):
         x, y = fs.cu_x[i], fs.cu_y[i]
         cuw = 1 << fs.cu_log2w[i]
         cuh = 1 << fs.cu_log2h[i]
+        if hmvp:
+            # HMVP history resets at the start of every CTU row
+            # (ref: src_main/xevdm.c:2497-2501)
+            row = y >> log2_ctu
+            if row != cur_ctu_row:
+                cur_ctu_row = row
+                mm.history = []
         x_scu, y_scu = x >> 2, y >> 2
         scuw = cuw >> 2
         scuh = cuh >> 2
@@ -151,7 +166,57 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
             refi = [T.REFI_INVALID, T.REFI_INVALID]
             scup = (y_scu, x_scu)
 
-            if pm == T.MODE_SKIP:
+            if use_admvp and pm in (T.MODE_SKIP, T.MODE_DIR):
+                # merge list / MMVD (ref: src_main/xevdm.c:800-886)
+                lr = mm.avail_lr(x_scu, y_scu, scuw)
+                if fs.cu_mmvd_flag[i]:
+                    from .motion import get_mmvd_motion
+                    refi, mv2 = get_mmvd_motion(
+                        fs.cu_mmvd_idx[i], poc_val, fs.slice_type, mm,
+                        refp, num_refp, x_scu, y_scu, cuw, cuh, lr, sh,
+                        log2_ctu)
+                    mv[0] = mv2[0]
+                    mv[1] = mv2[1]
+                    if fs.slice_type == T.SLICE_P:
+                        refi[1] = T.REFI_INVALID
+                        mv[1] = 0
+                else:
+                    refi_l, mvp_l = get_motion_merge_main(
+                        poc_val, fs.slice_type, mm, refp, x_scu, y_scu,
+                        cuw, cuh, lr, sh, log2_ctu)
+                    idx0 = mvp_idx[0]
+                    refi = [refi_l[0][idx0], refi_l[1][idx0]]
+                    mv[0] = mvp_l[0][idx0]
+                    mv[1] = mvp_l[1][idx0]
+                    if fs.slice_type == T.SLICE_P:
+                        refi[1] = T.REFI_INVALID
+                        mv[1] = 0
+            elif use_admvp:
+                # AMVR-aware MVP + mvd (ref: src_main/xevdm.c:887-1000)
+                lr = mm.avail_lr(x_scu, y_scu, scuw)
+                mvr = fs.cu_mvr_idx[i]
+                bi = fs.cu_bi_idx[i]
+                for lidx in range(2):
+                    if ((inter_dir + 1) >> lidx) & 1:
+                        if bi in (2, 3):  # BI_FL0/BI_FL1: refi inferred
+                            refi[lidx] = get_first_refi(
+                                mm, x_scu, y_scu, cuw, cuh, lidx, mvr, lr,
+                                hmvp)
+                        else:
+                            refi[lidx] = refi_parsed[lidx]
+                        mvp0 = get_motion_from_mvr(
+                            mvr, poc_val, mm, x_scu, y_scu, lidx,
+                            refi[lidx], num_refp[lidx], refp, cuw, cuh,
+                            lr, hmvp)
+                        mvd = fs.cu_mvd[i][lidx]
+                        if bi == 2 + lidx:
+                            mvd = (0, 0)
+                        mv[lidx, 0] = _s16(mvp0[0] + (mvd[0] << mvr))
+                        mv[lidx, 1] = _s16(mvp0[1] + (mvd[1] << mvr))
+                    else:
+                        refi[lidx] = T.REFI_INVALID
+                        mv[lidx] = 0
+            elif pm == T.MODE_SKIP:
                 # (ref: src_base/xevd.c:507-538)
                 lists = (0, 1) if fs.slice_type == T.SLICE_B else (0,)
                 for lidx in lists:
@@ -182,6 +247,10 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                     else:
                         refi[lidx] = T.REFI_INVALID
                         mv[lidx] = 0
+
+            if hmvp:
+                # (ref: src_main/xevdm.c:1333-1341, non-affine)
+                mm.history_update(refi, mv)
 
             cu_mv[i] = mv
             cu_refi[i] = refi

@@ -55,6 +55,11 @@ class FrameSyntax:
     cu_mvd: list = field(default_factory=list)       # [2][2]
     cu_inter_dir: list = field(default_factory=list)
     cu_tree: list = field(default_factory=list)      # TREE_LC/L/C (dual tree)
+    cu_mvr_idx: list = field(default_factory=list)   # AMVR resolution index
+    cu_bi_idx: list = field(default_factory=list)    # BI_NON/NORMAL/FL0/FL1
+    cu_mmvd_flag: list = field(default_factory=list)
+    cu_mmvd_idx: list = field(default_factory=list)
+    cu_ats: list = field(default_factory=list)       # (ats_cu, mode, inter)
     # per-SCU maps (filled during entropy; motion pass updates mv/refi)
     map_if: np.ndarray = None     # intra flag u8 [h_scu, w_scu]
     map_qp: np.ndarray = None
@@ -672,7 +677,9 @@ class EntropyDecoder:
                 ci += int(self.map_ibc[p])
         out["skip"] = min(cs, NUM_CTX_SKIP_FLAG - 1)
         out["pred"] = min(cp, NUM_CTX_PRED_MODE - 1)
-        out["mode_cons"] = min(cp, NUM_CTX_MODE_CONS - 1)
+        # mode_cons neighbor info is never filled in the reference, so its
+        # context is always 0 (ref: src_main/xevdm_util.c:1764-1782)
+        out["mode_cons"] = 0
         out["affine"] = min(ca, NUM_CTX_AFFINE_FLAG - 1)
         out["ibc"] = min(ci, NUM_CTX_IBC_FLAG - 1)
         return out
@@ -712,14 +719,36 @@ class EntropyDecoder:
             if sbac.decode_bin(ctx.skip_flag, cf["skip"]):
                 pred_mode = T.MODE_SKIP
 
+        admvp = bool(self.is_main and sps.tool_admvp)
+        mvr_idx = 0
+        bi_idx = 0   # BI_NON
+        mmvd_flag = 0
+        mmvd_idx = 0
+
+        self._last_ats = (0, 0, 0)
         if pred_mode == T.MODE_SKIP:
-            mvp_idx[0] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
-            if sh.slice_type == T.SLICE_B:
-                mvp_idx[1] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
+            if not admvp:
+                mvp_idx[0] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
+                if sh.slice_type == T.SLICE_B:
+                    mvp_idx[1] = sbac.read_truncate_unary_sym(ctx.mvp_idx,
+                                                              3, 4)
+            else:
+                if sps.tool_mmvd:
+                    mmvd_flag = sbac.decode_bin(ctx.mmvd_flag, 0)
+                if mmvd_flag:
+                    mmvd_idx = self._read_mmvd_data(log2_cuw, log2_cuh)
+                else:
+                    # (affine skip variant lands with tool_affine)
+                    mvp_idx[0] = sbac.read_truncate_unary_sym(
+                        ctx.merge_idx, 5, 6)
+                    mvp_idx[1] = mvp_idx[0]
             qp = self.qp_prev_eco if self.pps.cu_qp_delta_enabled_flag else sh.qp
         else:
-            # pred mode flag (ref: xevdm_eco_pred_mode for Main)
-            if sh.slice_type != T.SLICE_I and not only_intra:
+            # pred mode flag (ref: xevdm_eco_pred_mode,
+            # src_main/xevdm_eco.c:1401-1450)
+            if mode_cons == MODE_CONS_ONLY_INTER:
+                pred_mode = T.MODE_INTER
+            elif sh.slice_type != T.SLICE_I and not only_intra:
                 pred_mode = (T.MODE_INTRA
                              if sbac.decode_bin(ctx.pred_mode, cf["pred"])
                              else T.MODE_INTER)
@@ -727,19 +756,47 @@ class EntropyDecoder:
                 pred_mode = T.MODE_INTRA
 
             if pred_mode == T.MODE_INTER:
-                if sh.slice_type == T.SLICE_B:
+                if sps.tool_amvr:
+                    mvr_idx = sbac.read_truncate_unary_sym(ctx.mvr_idx, 5, 5)
+                if sh.slice_type == T.SLICE_B and not admvp:
                     if sbac.decode_bin(ctx.direct_mode_flag, 0):
                         inter_dir = T.PRED_DIR
-                if inter_dir != T.PRED_DIR:
-                    if sh.slice_type == T.SLICE_B:
-                        inter_dir = self._read_inter_pred_idc()
+                elif admvp and mvr_idx == 0:
+                    if sbac.decode_bin(ctx.merge_mode_flag, 0):
+                        inter_dir = T.PRED_DIR
+                if inter_dir == T.PRED_DIR and admvp:
+                    # merge (ref: src_main/xevdm_eco.c:1608-1640)
+                    if sps.tool_mmvd:
+                        mmvd_flag = sbac.decode_bin(ctx.mmvd_flag, 0)
+                    if mmvd_flag:
+                        mmvd_idx = self._read_mmvd_data(log2_cuw, log2_cuh)
                     else:
-                        inter_dir = T.PRED_L0
-                    for lidx in range(2):
-                        if ((inter_dir + 1) >> lidx) & 1:
-                            refi[lidx] = self._read_refi(self.num_refp[lidx])
-                            mvp_idx[lidx] = sbac.read_truncate_unary_sym(ctx.mvp_idx, 3, 4)
-                            mvd[lidx] = self._read_mvd()
+                        mvp_idx[0] = sbac.read_truncate_unary_sym(
+                            ctx.merge_idx, 5, 6)
+                        mvp_idx[1] = mvp_idx[0]
+                    pred_mode = T.MODE_DIR
+                elif inter_dir != T.PRED_DIR:
+                    if sh.slice_type == T.SLICE_B:
+                        inter_dir = self._read_inter_pred_idc(
+                            cuw, cuh, admvp)
+                    if not admvp:
+                        for lidx in range(2):
+                            if ((inter_dir + 1) >> lidx) & 1:
+                                refi[lidx] = self._read_refi(
+                                    self.num_refp[lidx])
+                                mvp_idx[lidx] = sbac.read_truncate_unary_sym(
+                                    ctx.mvp_idx, 3, 4)
+                                mvd[lidx] = self._read_mvd()
+                    else:
+                        if inter_dir == T.PRED_BI:
+                            bi_idx = self._read_bi_idx() + 1
+                        for lidx in range(2):
+                            if ((inter_dir + 1) >> lidx) & 1:
+                                if bi_idx not in (2, 3):  # BI_FL0/BI_FL1
+                                    refi[lidx] = self._read_refi(
+                                        self.num_refp[lidx])
+                                if bi_idx != 2 + lidx:
+                                    mvd[lidx] = self._read_mvd()
             elif not self.is_main:
                 ipm = self._read_intra_dir(x_scu, y_scu)
             elif sps.tool_eipd:
@@ -789,6 +846,11 @@ class EntropyDecoder:
         fs.cu_mvd.append(mvd)
         fs.cu_inter_dir.append(inter_dir)
         fs.cu_tree.append(tree_type)
+        fs.cu_mvr_idx.append(mvr_idx)
+        fs.cu_bi_idx.append(bi_idx)
+        fs.cu_mmvd_flag.append(mmvd_flag)
+        fs.cu_mmvd_idx.append(mmvd_idx)
+        fs.cu_ats.append(getattr(self, "_last_ats", (0, 0, 0)))
         fs.cu_avail.append(0)
 
         if tree_type == TREE_C:
@@ -799,7 +861,18 @@ class EntropyDecoder:
         is_intra = 1 if pred_mode == T.MODE_INTRA else 0
         fs.map_if[ys, xs] = is_intra
         fs.map_qp[ys, xs] = qp
-        fs.map_cbfl[ys, xs] = 1 if cbf[0] else 0
+        ats_inter = getattr(self, "_last_ats", (0, 0, 0))[2]
+        if ats_inter:
+            # cbf marked over the coded sub-TU only
+            # (ref: src_main/xevdm_util.c xevdm_set_cu_cbf_flags)
+            fs.map_cbfl[ys, xs] = 0
+            if cbf[0]:
+                ltw, lth = T.ats_inter_tu_size(ats_inter, log2_cuw, log2_cuh)
+                xo, yo = T.ats_inter_tu_offset(ats_inter, log2_cuw, log2_cuh)
+                fs.map_cbfl[y_scu + (yo >> 2):y_scu + ((yo + (1 << lth)) >> 2),
+                            x_scu + (xo >> 2):x_scu + ((xo + (1 << ltw)) >> 2)] = 1
+        else:
+            fs.map_cbfl[ys, xs] = 1 if cbf[0] else 0
         fs.map_skip[ys, xs] = 1 if pred_mode == T.MODE_SKIP else 0
         if is_intra:
             fs.map_ipm[ys, xs] = ipm
@@ -810,10 +883,40 @@ class EntropyDecoder:
         fs.edge_hor[y_scu, xs] = 1
         fs.edge_ver[ys, x_scu] = 1
 
-    def _read_inter_pred_idc(self):
-        """(ref: src_base/xevd_eco.c:955-983)"""
+    def _read_mmvd_data(self, log2_cuw, log2_cuh):
+        """(ref: src_main/xevdm_eco.c:767-812)"""
         sbac = self.sbac
-        tmp = sbac.decode_bin(sbac.ctx.inter_dir, 0)
+        ctx = sbac.ctx
+        type_ = (self.sh.mmvd_group_enable_flag
+                 and not ((1 << (log2_cuw + log2_cuh)) <= 32))
+        t = 0
+        if type_:
+            t = sbac.decode_bin(ctx.mmvd_group_idx, 0)
+            if t:
+                t += sbac.decode_bin(ctx.mmvd_group_idx, 1)
+        base = sbac.read_truncate_unary_sym(ctx.mmvd_merge_idx, 3, 4)
+        idx = base * 32 + t * 128
+        idx += sbac.read_truncate_unary_sym(ctx.mmvd_distance_idx, 7, 8) * 4
+        idx += sbac.decode_bin(ctx.mmvd_direction_idx, 0) * 2
+        idx += sbac.decode_bin(ctx.mmvd_direction_idx, 1)
+        return idx
+
+    def _read_bi_idx(self):
+        """(ref: src_base/xevd_eco.c:475-497)"""
+        sbac = self.sbac
+        if sbac.decode_bin(sbac.ctx.bi_idx, 0):
+            return 0
+        return 1 if sbac.decode_bin(sbac.ctx.bi_idx, 1) else 2
+
+    def _read_inter_pred_idc(self, cuw=64, cuh=64, admvp=False):
+        """(ref: src_base/xevd_eco.c:955-983,
+        src_main/xevdm_eco.c:1143-1171 — the BI bin is skipped when bi
+        prediction is not applicable to this CU size)."""
+        from .motion import check_bi_applicability
+        sbac = self.sbac
+        tmp = 1
+        if not admvp or check_bi_applicability(T.SLICE_B, cuw, cuh):
+            tmp = sbac.decode_bin(sbac.ctx.inter_dir, 0)
         if not tmp:
             return T.PRED_BI
         tmp = sbac.decode_bin(sbac.ctx.inter_dir, 1)
@@ -944,7 +1047,10 @@ class EntropyDecoder:
         sbac = self.sbac
         sps = self.sps
         fs = self.fs
-        b_no_cbf = False  # Main MODE_DIR variants set this (admvp stage)
+        # merge/direct CUs skip the cbf_all bin under ADMVP
+        # (ref: src_main/xevdm_eco.c:826-835)
+        b_no_cbf = bool(self.is_main and sps.tool_admvp
+                        and pred_mode == T.MODE_DIR)
 
         log2_w_sub = min(log2_cuw, T.MAX_TR_LOG2)
         log2_h_sub = min(log2_cuh, T.MAX_TR_LOG2)
@@ -954,6 +1060,11 @@ class EntropyDecoder:
         cbf_any = [0, 0, 0]
         cbf_all = True
         qp = self.qp_prev_eco
+        tool_ats = bool(self.is_main and sps.tool_ats)
+        ats_avail = T.check_ats_inter_avail(1 << log2_cuw, 1 << log2_cuh,
+                                            pred_mode, tool_ats) \
+            if pred_mode != T.MODE_INTRA else 0
+        self._last_ats = (0, 0, 0)
         for j in range(loop_h):
             for i in range(loop_w):
                 if cbf_all:
@@ -972,24 +1083,76 @@ class EntropyDecoder:
                 else:
                     qp = self.qp_prev_eco
 
+                # ATS syntax (ref: src_main/xevdm_eco.c:889-934)
+                ats_cu = ats_mode = ats_inter = 0
+                if tool_ats and cbf[0] and log2_cuw <= 5 and \
+                        log2_cuh <= 5 and pred_mode == T.MODE_INTRA:
+                    ats_cu = self.sbac.decode_bin_ep()
+                    if ats_cu:
+                        hbit = self.sbac.decode_bin(self.sbac.ctx.ats_mode, 0)
+                        vbit = self.sbac.decode_bin(self.sbac.ctx.ats_mode, 0)
+                        ats_mode = (hbit << 1) | vbit
+                if ats_avail and (cbf[0] or cbf[1] or cbf[2]):
+                    ats_inter = self._read_ats_inter_info(
+                        log2_cuw, log2_cuh, ats_avail)
+                self._last_ats = (ats_cu, ats_mode, ats_inter)
+
                 xs = x + (i << log2_w_sub)
                 ys = y + (j << log2_h_sub)
                 if cbf[0]:
-                    blk = self._read_coef_block(log2_w_sub, log2_h_sub, 0)
-                    fs.coef_y[ys:ys + (1 << log2_h_sub),
-                              xs:xs + (1 << log2_w_sub)] = blk
+                    ltw, lth = T.ats_inter_tu_size(ats_inter, log2_w_sub,
+                                                   log2_h_sub)
+                    xo, yo = T.ats_inter_tu_offset(ats_inter, log2_w_sub,
+                                                   log2_h_sub)
+                    blk = self._read_coef_block(ltw, lth, 0)
+                    fs.coef_y[ys + yo:ys + yo + (1 << lth),
+                              xs + xo:xs + xo + (1 << ltw)] = blk
                 if cbf[1] or cbf[2]:
                     lw = log2_w_sub - self.cw_shift
                     lh = log2_h_sub - self.ch_shift
-                    xc, yc = xs >> self.cw_shift, ys >> self.ch_shift
+                    ltw, lth = T.ats_inter_tu_size(ats_inter, lw, lh)
+                    xo, yo = T.ats_inter_tu_offset(ats_inter, lw, lh)
+                    xc = (xs >> self.cw_shift) + xo
+                    yc = (ys >> self.ch_shift) + yo
                     if cbf[1]:
-                        blk = self._read_coef_block(lw, lh, 1)
-                        fs.coef_u[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
+                        blk = self._read_coef_block(ltw, lth, 1)
+                        fs.coef_u[yc:yc + (1 << lth),
+                                  xc:xc + (1 << ltw)] = blk
                     if cbf[2]:
-                        blk = self._read_coef_block(lw, lh, 1)
-                        fs.coef_v[yc:yc + (1 << lh), xc:xc + (1 << lw)] = blk
+                        blk = self._read_coef_block(ltw, lth, 1)
+                        fs.coef_v[yc:yc + (1 << lth),
+                                  xc:xc + (1 << ltw)] = blk
                 cbf_any = [a | b for a, b in zip(cbf_any, cbf)]
         return qp, cbf_any
+
+    def _read_ats_inter_info(self, log2_cuw, log2_cuh, avail):
+        """(ref: src_main/xevdm_eco.c eco_ats_inter_info)"""
+        sbac = self.sbac
+        ctx = sbac.ctx
+        mode_vert = avail & 1
+        mode_hori = (avail >> 1) & 1
+        mode_vert_quad = (avail >> 2) & 1
+        mode_hori_quad = (avail >> 3) & 1
+        ctx_f = ((0 if log2_cuw + log2_cuh >= 8 else 1)
+                 if self.cm_init else 0)
+        ctx_h = ((0 if log2_cuw == log2_cuh
+                  else (1 if log2_cuw < log2_cuh else 2))
+                 if self.cm_init else 0)
+        if not sbac.decode_bin(ctx.ats_cu_inter_flag, ctx_f):
+            return 0
+        if (mode_vert_quad or mode_hori_quad) and (mode_vert or mode_hori):
+            quad = sbac.decode_bin(ctx.ats_cu_inter_quad_flag, 0)
+        else:
+            quad = 0
+        if (quad and mode_vert_quad and mode_hori_quad) or \
+                (not quad and mode_vert and mode_hori):
+            hor = sbac.decode_bin(ctx.ats_cu_inter_hor_flag, ctx_h)
+        else:
+            hor = 1 if ((quad and mode_hori_quad)
+                        or (not quad and mode_hori)) else 0
+        pos = sbac.decode_bin(ctx.ats_cu_inter_pos_flag, 0)
+        idx = (2 if quad else 0) + (1 if hor else 0) + 1
+        return idx + (pos << 4)
 
     def _read_dqp(self):
         sbac = self.sbac

@@ -18,6 +18,8 @@ from .. import tables as T
 
 _MC_L = jnp.asarray(T.MC_L_COEFF, dtype=jnp.int32)   # [16, 8]
 _MC_C = jnp.asarray(T.MC_C_COEFF, dtype=jnp.int32)   # [32, 4]
+_MC_L_MAIN = jnp.asarray(T.MC_L_COEFF_MAIN, dtype=jnp.int32)
+_MC_C_MAIN = jnp.asarray(T.MC_C_COEFF_MAIN, dtype=jnp.int32)
 
 # filter-case ids
 CASE_00, CASE_N0, CASE_0N, CASE_NN = 0, 1, 2, 3
@@ -45,8 +47,8 @@ def _vfilter(win, taps, ntap, h):
     return acc
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def mc_bucket(args, case, w, h, bit_depth, is_luma):
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def mc_bucket(args, case, w, h, bit_depth, is_luma, main_taps=False):
     """One MC bucket.
 
     args = (refs [R,H,W] int16, ref_idx [N], gmv_x [N], gmv_y [N])
@@ -57,9 +59,11 @@ def mc_bucket(args, case, w, h, bit_depth, is_luma):
     refs, ref_idx, gx, gy = args
     maxv = (1 << bit_depth) - 1
     if is_luma:
-        fbits, ntap, tbl = 4, 8, _MC_L
+        fbits, ntap = 4, 8
+        tbl = _MC_L_MAIN if main_taps else _MC_L
     else:
-        fbits, ntap, tbl = 5, 4, _MC_C
+        fbits, ntap = 5, 4
+        tbl = _MC_C_MAIN if main_taps else _MC_C
     half = ntap // 2 - 1
     dx = gx & ((1 << fbits) - 1)
     dy = gy & ((1 << fbits) - 1)

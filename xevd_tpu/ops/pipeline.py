@@ -121,8 +121,8 @@ def _itdq_all(payload, sig, shp_y, shp_c, bd):
 # ---------------------------------------------------------------------------
 # stage B: MC
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _mc_all(payload, refs, sig, shp_y, shp_c, bd):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _mc_all(payload, refs, sig, shp_y, shp_c, bd, main_taps=False):
     refs_y, refs_u, refs_v = refs
     names = _unpack(payload, sig)
     pred_y = jnp.zeros(shp_y, jnp.int32)
@@ -142,13 +142,16 @@ def _mc_all(payload, refs, sig, shp_y, shp_c, bd):
         slot, gx, gy = e[:, 0], e[:, 1], e[:, 2]
         pos = e[:, 3:5]
         if is_luma:
-            p = JM.mc_bucket((refs_y, slot, gx, gy), case, w, h, bd, True)
+            p = JM.mc_bucket((refs_y, slot, gx, gy), case, w, h, bd, True,
+                             main_taps)
             yy, xx = _iota_pos_wh(pos, h, w)
             pred_y = pred_y.at[yy, xx].add(p, mode="drop")
             cnt_y = cnt_y.at[yy, xx].add(1, mode="drop")
         else:
-            pu = JM.mc_bucket((refs_u, slot, gx, gy), case, w, h, bd, False)
-            pv = JM.mc_bucket((refs_v, slot, gx, gy), case, w, h, bd, False)
+            pu = JM.mc_bucket((refs_u, slot, gx, gy), case, w, h, bd, False,
+                              main_taps)
+            pv = JM.mc_bucket((refs_v, slot, gx, gy), case, w, h, bd, False,
+                              main_taps)
             yy, xx = _iota_pos_wh(pos, h, w)
             pred_u = pred_u.at[yy, xx].add(pu, mode="drop")
             pred_v = pred_v.at[yy, xx].add(pv, mode="drop")
@@ -269,7 +272,10 @@ class JaxPixelBackend:
 
         resids = _itdq_all(payload, sig_q, shp_y, shp_c, bd)
         if has_inter:
-            preds = _mc_all(payload, refs, sig_m, shp_y, shp_c, bd)
+            main_taps = bool(getattr(sps, "is_main", False)
+                             and sps.tool_admvp)
+            preds = _mc_all(payload, refs, sig_m, shp_y, shp_c, bd,
+                            main_taps)
         else:
             z32 = jnp.zeros(shp_y, jnp.int32)
             z8 = jnp.zeros(shp_y, jnp.int8)

@@ -26,7 +26,8 @@ def dequant(coef: np.ndarray, log2_w: int, log2_h: int, scale: int) -> np.ndarra
 
 
 def itdq_block(coef: np.ndarray, log2_w: int, log2_h: int, scale: int,
-               bit_depth: int) -> np.ndarray:
+               bit_depth: int, iqt: bool = False, ats_cu: int = 0,
+               ats_mode: int = 0) -> np.ndarray:
     """Dequant + 2-stage inverse DCT-2 of one TU; returns int16 residual.
 
     Mirrors xevd_itdq + xevd_itrans (ref: src_base/xevd_itdq.c:473-541):
@@ -44,6 +45,30 @@ def itdq_block(coef: np.ndarray, log2_w: int, log2_h: int, scale: int,
     lev = (c * (scale * ns_scale) + offset) >> shift
     dq = np.clip(lev, -32768, 32767).astype(np.int64)
 
+    if ats_cu:
+        # ATS intra/inter DST-7/DCT-8, two clipped 16-bit stages
+        # (ref: src_main/xevdm_itdq.c:405-421,163-405)
+        tr_h = (T.TR_DCT8 if (ats_mode >> 1) else T.TR_DST7)[log2_w]
+        tr_v = (T.TR_DCT8 if (ats_mode & 1) else T.TR_DST7)[log2_h]
+        s1 = (dq.T @ tr_v + (1 << 6)) >> 7                  # [w, h]
+        s1 = np.clip(s1, -32768, 32767)
+        shift2 = 6 + 15 - 1 - bit_depth
+        r = (s1.T @ tr_h + (1 << (shift2 - 1))) >> shift2   # [h, w]
+        r = np.clip(r, -32768, 32767)
+        return r.astype(np.int16)
+
+    if iqt:
+        # Main per-stage DCT-2 (tool_iqt): shift 7 then 12-(bd-8), 15-bit
+        # clip at each stage (ref: src_main/xevdm_itdq.c:423-708)
+        tm_h = T.TM[log2_h].astype(np.int64)
+        tm_w = T.TM[log2_w].astype(np.int64)
+        s1 = (dq.T @ tm_h + (1 << 6)) >> 7                  # [w, h]
+        s1 = np.clip(s1, T.MIN_TX_VAL, T.MAX_TX_VAL)
+        shift2 = 12 - (bit_depth - 8)
+        r = (s1.T @ tm_w + (1 << (shift2 - 1))) >> shift2
+        r = np.clip(r, T.MIN_TX_VAL, T.MAX_TX_VAL)
+        return r.astype(np.int16)
+
     tm_h = T.TM[log2_h].astype(np.int64)   # [cuh, cuh] freq x spatial
     tm_w = T.TM[log2_w].astype(np.int64)
     # stage 0: out0[y, u] = sum_v tm_h[v, y] * dq[v, u], no shift, clip s32
@@ -57,9 +82,11 @@ def itdq_block(coef: np.ndarray, log2_w: int, log2_h: int, scale: int,
     return r.astype(np.int16)
 
 
-def qp_scale(qp: int) -> int:
-    """Baseline dequant scale (ref: src_base/xevd_itdq.c:595)."""
-    return int(T.DQ_SCALE_B[qp % 6]) << (qp // 6)
+def qp_scale(qp: int, iqt: bool = False) -> int:
+    """Dequant scale; tool_iqt selects the Main table
+    (ref: src_base/xevd_itdq.c:595, src_main/xevdm_itdq.c:826-833)."""
+    tbl = T.DQ_SCALE if iqt else T.DQ_SCALE_B
+    return int(tbl[qp % 6]) << (qp // 6)
 
 
 # ---------------------------------------------------------------------------
@@ -142,10 +169,13 @@ def mv_clip(x, y, pic_w, pic_h, w, h, mv):
 
 
 def mc_luma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int, frac_y: int,
-            w: int, h: int, bit_depth: int, pad: int) -> np.ndarray:
+            w: int, h: int, bit_depth: int, pad: int,
+            main_taps: bool = False) -> np.ndarray:
     """Luma MC for one block.  `ref` is the padded plane, gmv_* in 1/16-pel
     relative to the padded origin. frac_* select the kernel variant from the
-    *pre-clipping* MV (ref: src_base/xevd_mc.h:65-69, xevd_mc.c:169-284)."""
+    *pre-clipping* MV (ref: src_base/xevd_mc.h:65-69, xevd_mc.c:169-284).
+    main_taps selects the ADMVP filter set (ref: src_main/xevdm_mc.c:121)."""
+    LTAPS = T.MC_L_COEFF_MAIN if main_taps else T.MC_L_COEFF
     maxv = (1 << bit_depth) - 1
     if frac_x == 0 and frac_y == 0:
         ix, iy = gmv_x >> 4, gmv_y >> 4
@@ -155,7 +185,7 @@ def mc_luma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int, frac_y: int,
         ix = (gmv_x >> 4) - 3
         iy = gmv_y >> 4
         win = ref[iy:iy + h, ix:ix + w + 7].astype(np.int32)
-        taps = T.MC_L_COEFF[dx]
+        taps = LTAPS[dx]
         acc = np.zeros((h, w), dtype=np.int32)
         for k in range(8):
             acc += taps[k] * win[:, k:k + w]
@@ -165,7 +195,7 @@ def mc_luma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int, frac_y: int,
         ix = gmv_x >> 4
         iy = (gmv_y >> 4) - 3
         win = ref[iy:iy + h + 7, ix:ix + w].astype(np.int32)
-        taps = T.MC_L_COEFF[dy]
+        taps = LTAPS[dy]
         acc = np.zeros((h, w), dtype=np.int32)
         for k in range(8):
             acc += taps[k] * win[k:k + h, :]
@@ -178,12 +208,12 @@ def mc_luma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int, frac_y: int,
     shift2 = max(8, 20 - bit_depth)
     offset2 = 1 << (shift2 - 1)
     win = ref[iy:iy + h + 7, ix:ix + w + 7].astype(np.int32)
-    tx = T.MC_L_COEFF[dx]
+    tx = LTAPS[dx]
     buf = np.zeros((h + 7, w), dtype=np.int32)
     for k in range(8):
         buf += tx[k] * win[:, k:k + w]
     buf = (buf >> shift1).astype(np.int16).astype(np.int32)
-    ty = T.MC_L_COEFF[dy]
+    ty = LTAPS[dy]
     acc = np.zeros((h, w), dtype=np.int32)
     for k in range(8):
         acc += ty[k] * buf[k:k + h, :]
@@ -191,9 +221,11 @@ def mc_luma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int, frac_y: int,
 
 
 def mc_chroma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int,
-              frac_y: int, w: int, h: int, bit_depth: int) -> np.ndarray:
+              frac_y: int, w: int, h: int, bit_depth: int,
+              main_taps: bool = False) -> np.ndarray:
     """Chroma MC (1/32-pel, 4-tap) (ref: src_base/xevd_mc.c:290-408).
     gmv_* in 1/16-pel luma units == 1/32-pel chroma units."""
+    CTAPS = T.MC_C_COEFF_MAIN if main_taps else T.MC_C_COEFF
     maxv = (1 << bit_depth) - 1
     if frac_x == 0 and frac_y == 0:
         ix, iy = gmv_x >> 5, gmv_y >> 5
@@ -203,7 +235,7 @@ def mc_chroma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int,
         ix = (gmv_x >> 5) - 1
         iy = gmv_y >> 5
         win = ref[iy:iy + h, ix:ix + w + 3].astype(np.int32)
-        taps = T.MC_C_COEFF[dx]
+        taps = CTAPS[dx]
         acc = np.zeros((h, w), dtype=np.int32)
         for k in range(4):
             acc += taps[k] * win[:, k:k + w]
@@ -213,7 +245,7 @@ def mc_chroma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int,
         ix = gmv_x >> 5
         iy = (gmv_y >> 5) - 1
         win = ref[iy:iy + h + 3, ix:ix + w].astype(np.int32)
-        taps = T.MC_C_COEFF[dy]
+        taps = CTAPS[dy]
         acc = np.zeros((h, w), dtype=np.int32)
         for k in range(4):
             acc += taps[k] * win[k:k + h, :]
@@ -225,12 +257,12 @@ def mc_chroma(ref: np.ndarray, gmv_x: int, gmv_y: int, frac_x: int,
     shift2 = max(8, 20 - bit_depth)
     offset2 = 1 << (shift2 - 1)
     win = ref[iy:iy + h + 3, ix:ix + w + 3].astype(np.int32)
-    tx = T.MC_C_COEFF[dx]
+    tx = CTAPS[dx]
     buf = np.zeros((h + 3, w), dtype=np.int32)
     for k in range(4):
         buf += tx[k] * win[:, k:k + w]
     buf = (buf >> shift1).astype(np.int16).astype(np.int32)
-    ty = T.MC_C_COEFF[dy]
+    ty = CTAPS[dy]
     acc = np.zeros((h, w), dtype=np.int32)
     for k in range(4):
         acc += ty[k] * buf[k:k + h, :]
@@ -327,13 +359,13 @@ def deblock_frame(planes, job, sps):
 
 
 def _cu_deblock_order(fs):
-    """CU visit order for deblocking = decode order, minus chroma-only
-    dual-tree units (the deblock tree visits split-tree leaves only,
-    ref: src_main/xevdm.c:1935-2010)."""
+    """Deblock visit order = decode order.  Dual-tree areas deblock twice:
+    TREE_L leaves filter luma only, then the enclosing node repeats as one
+    TREE_C unit filtering chroma only (ref: src_main/xevdm.c:1986-2000).
+    Yields (i, do_luma, do_chroma)."""
     for i in range(fs.num_cus()):
-        if fs.cu_tree and fs.cu_tree[i] == 2:  # TREE_C
-            continue
-        yield i
+        tree = fs.cu_tree[i] if fs.cu_tree else 0
+        yield i, tree != 2, tree != 1
 
 
 def deblock_pass_hor(planes, job, sps):
@@ -348,7 +380,7 @@ def deblock_pass_hor(planes, job, sps):
     cw_shift = 1 if cfi in (1, 2) else 0
     ch_shift = 1 if cfi == 1 else 0
 
-    for i in _cu_deblock_order(fs):
+    for i, do_luma, do_chroma in _cu_deblock_order(fs):
         y0 = fs.cu_y[i]
         if y0 == 0 or y0 >= h:
             continue
@@ -357,7 +389,7 @@ def deblock_pass_hor(planes, job, sps):
         ypel = y0
         for xs in range(x0 >> 2, min((x0 + (1 << fs.cu_log2w[i])) >> 2,
                                      (w + 3) >> 2)):
-            st = int(job.db_hor_y[ys, xs])
+            st = int(job.db_hor_y[ys, xs]) if do_luma else 0
             if st:
                 xp = xs << 2
                 n = min(4, w - xp)
@@ -369,7 +401,7 @@ def deblock_pass_hor(planes, job, sps):
                 y_plane[ypel - 1, cols] = B
                 y_plane[ypel, cols] = C
                 y_plane[ypel + 1, cols] = D
-            if cfi:
+            if cfi and do_chroma:
                 st_u = int(job.db_hor_u[ys, xs])
                 st_v = int(job.db_hor_v[ys, xs])
                 if st_u or st_v:
@@ -408,11 +440,11 @@ def deblock_pass_ver(planes, job, sps):
     h_scu_max = (h + 3) >> 2
     cod = np.zeros((fs.h_scu, fs.w_scu), dtype=np.uint8)
 
-    def filter_edge_col(xpel, ys0, ys1, xs_param):
+    def filter_edge_col(xpel, ys0, ys1, xs_param, do_luma, do_chroma):
         """Filter edge at column xpel for SCU rows [ys0, ys1); strengths
         come from the SCU column xs_param (the right-side block)."""
         for ys in range(ys0, min(ys1, h_scu_max)):
-            st = int(job.db_ver_y[ys, xs_param])
+            st = int(job.db_ver_y[ys, xs_param]) if do_luma else 0
             if st:
                 yp = ys << 2
                 rows = slice(yp, yp + min(4, h - yp))
@@ -423,7 +455,7 @@ def deblock_pass_ver(planes, job, sps):
                 y_plane[rows, xpel - 1] = B
                 y_plane[rows, xpel] = C
                 y_plane[rows, xpel + 1] = D
-            if cfi:
+            if cfi and do_chroma:
                 st_u = int(job.db_ver_u[ys, xs_param])
                 st_v = int(job.db_ver_v[ys, xs_param])
                 if st_u or st_v:
@@ -445,7 +477,7 @@ def deblock_pass_ver(planes, job, sps):
                         v_plane[rows, xc - 1] = B
                         v_plane[rows, xc] = C
 
-    for i in _cu_deblock_order(fs):
+    for i, do_luma, do_chroma in _cu_deblock_order(fs):
         x0, y0 = fs.cu_x[i], fs.cu_y[i]
         cuw = 1 << fs.cu_log2w[i]
         cuh = 1 << fs.cu_log2h[i]
@@ -453,8 +485,9 @@ def deblock_pass_ver(planes, job, sps):
         scuw, scuh = cuw >> 2, cuh >> 2
         ys0, ys1 = y_scu, y_scu + scuh
         if x0 > 0 and x0 < w and cod[y_scu, x_scu - 1]:
-            filter_edge_col(x0, ys0, ys1, x_scu)
+            filter_edge_col(x0, ys0, ys1, x_scu, do_luma, do_chroma)
         if x0 + cuw < w and x_scu + scuw < fs.w_scu and \
                 cod[y_scu, x_scu + scuw]:
-            filter_edge_col(x0 + cuw, ys0, ys1, x_scu + scuw)
+            filter_edge_col(x0 + cuw, ys0, ys1, x_scu + scuw,
+                            do_luma, do_chroma)
         cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1

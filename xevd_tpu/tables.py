@@ -405,3 +405,126 @@ def adcc_last_pos_ctx_para(ch_type: int, width: int, height: int):
         sh_x = cw - int(TBL_LOG2[width >> 4])   # TBL_LOG2[0] == 0
         sh_y = ch - int(TBL_LOG2[height >> 4])
     return off_x, off_y, sh_x, sh_y
+
+
+# Main-profile (ADMVP) interpolation filters
+# (ref: src_main/xevdm_mc.c:121-155, selected at xevdm_mc.c "sps_admvp_flag")
+MC_L_COEFF_MAIN = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [0, 1, -3, 63, 4, -2, 1, 0],
+    [-1, 2, -5, 62, 8, -3, 1, 0],
+    [-1, 3, -8, 60, 13, -4, 1, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 52, 26, -8, 3, -1],
+    [-1, 3, -9, 47, 31, -10, 4, -1],
+    [-1, 4, -11, 45, 34, -10, 4, -1],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [-1, 4, -10, 34, 45, -11, 4, -1],
+    [-1, 4, -10, 31, 47, -9, 3, -1],
+    [-1, 3, -8, 26, 52, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+    [0, 1, -4, 13, 60, -8, 3, -1],
+    [0, 1, -3, 8, 62, -5, 2, -1],
+    [0, 1, -2, 4, 63, -3, 1, 0],
+], dtype=np.int64)
+
+MC_C_COEFF_MAIN = np.array([
+    [0, 64, 0, 0], [-1, 63, 2, 0], [-2, 62, 4, 0], [-2, 60, 7, -1],
+    [-2, 58, 10, -2], [-3, 57, 12, -2], [-4, 56, 14, -2], [-4, 55, 15, -2],
+    [-4, 54, 16, -2], [-5, 53, 18, -2], [-6, 52, 20, -2], [-6, 49, 24, -3],
+    [-6, 46, 28, -4], [-5, 44, 29, -4], [-4, 42, 30, -4], [-4, 39, 33, -4],
+    [-4, 36, 36, -4], [-4, 33, 39, -4], [-4, 30, 42, -4], [-4, 29, 44, -5],
+    [-4, 28, 46, -6], [-3, 24, 49, -6], [-2, 20, 52, -6], [-2, 18, 53, -5],
+    [-2, 16, 54, -4], [-2, 15, 55, -4], [-2, 14, 56, -4], [-2, 12, 57, -3],
+    [-2, 10, 58, -2], [-1, 7, 60, -2], [0, 4, 62, -2], [0, 2, 63, -1],
+], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ATS multi-transform bases: forward DST-7 / DCT-8 matrices, sizes 4..32,
+# generated exactly like the reference's runtime init
+# (ref: src_main/xevdm_itdq.c:81-120 xevdm_init_multi_tbl).
+# Layout: TR[k][n] row-major, used by the inverse as out[j] = sum_k x[k]*TR[k][j].
+# ---------------------------------------------------------------------------
+def _gen_tr(n: int, dct8: bool) -> np.ndarray:
+    import math
+    s = math.sqrt(n) * 64
+    m = np.zeros((n, n), dtype=np.int64)
+    for k in range(n):
+        for j in range(n):
+            if dct8:
+                v = math.cos(math.pi * (k + 0.5) * (j + 0.5) / (n + 0.5)) \
+                    * math.sqrt(2.0 / (n + 0.5))
+            else:
+                v = math.sin(math.pi * (k + 0.5) * (j + 1) / (n + 0.5)) \
+                    * math.sqrt(2.0 / (n + 0.5))
+            m[k, j] = int(s * v + (0.5 if v > 0 else -0.5))
+    return m
+
+
+TR_DST7 = {lg: _gen_tr(1 << lg, False) for lg in (1, 2, 3, 4, 5)}
+TR_DCT8 = {lg: _gen_tr(1 << lg, True) for lg in (1, 2, 3, 4, 5)}
+
+
+def ats_inter_tu_size(ats_inter_info: int, log2_cuw: int, log2_cuh: int):
+    """(ref: src_main/xevdm_util.c:3585-3634)"""
+    idx = ats_inter_info & 0xF
+    if idx == 0:
+        return min(log2_cuw, MAX_TR_LOG2), min(log2_cuh, MAX_TR_LOG2)
+    horizontal = idx in (2, 4)
+    quad = idx in (3, 4)
+    if horizontal:
+        ltw = min(log2_cuw, MAX_TR_LOG2)
+        lth = log2_cuh - (2 if quad else 1)
+        lth = min(lth, MAX_TR_LOG2)
+    else:
+        ltw = log2_cuw - (2 if quad else 1)
+        ltw = min(ltw, MAX_TR_LOG2)
+        lth = min(log2_cuh, MAX_TR_LOG2)
+    return ltw, lth
+
+
+def ats_inter_tu_offset(ats_inter_info: int, log2_cuw: int, log2_cuh: int):
+    """(ref: src_main/xevdm_util.c get_tu_pos_offset)"""
+    idx = ats_inter_info & 0xF
+    pos = (ats_inter_info >> 4) & 0xF
+    if idx == 0:
+        return 0, 0
+    cuw, cuh = 1 << log2_cuw, 1 << log2_cuh
+    horizontal = idx in (2, 4)
+    quad = idx in (3, 4)
+    if horizontal:
+        return 0, 0 if pos == 0 else cuh - (cuh // 4 if quad else cuh // 2)
+    return (0 if pos == 0 else cuw - (cuw // 4 if quad else cuw // 2)), 0
+
+
+def ats_inter_trs(ats_inter_info: int, log2_cuw: int, log2_cuh: int):
+    """Luma transform pair for an ATS-inter TU → (ats_cu, ats_mode)
+    (ref: src_main/xevdm_util.c:3636-3669); mode bit: 0=DST7, 1=DCT8."""
+    if ats_inter_info == 0:
+        return 0, 0
+    if log2_cuw > 5 or log2_cuh > 5:
+        return 0, 0
+    idx = ats_inter_info & 0xF
+    pos = (ats_inter_info >> 4) & 0xF
+    if idx in (2, 4):      # horizontal split
+        t_h = 0
+        t_v = 1 if pos == 0 else 0
+    else:
+        t_v = 0
+        t_h = 1 if pos == 0 else 0
+    return 1, (t_h << 1) | t_v
+
+
+def check_ats_inter_avail(cuw: int, cuh: int, pred_mode: int,
+                          tool_ats: int) -> int:
+    """(ref: src_main/xevdm_util.c:3565-3583)"""
+    if not tool_ats or pred_mode == MODE_INTRA or cuw > MAX_TR_SIZE \
+            or cuh > MAX_TR_SIZE:
+        return 0
+    mode_vert = 1 if cuw >= 8 else 0
+    mode_vert_quad = 1 if cuw >= 16 else 0
+    mode_hori = 1 if cuh >= 8 else 0
+    mode_hori_quad = 1 if cuh >= 16 else 0
+    return (mode_vert | (mode_hori << 1) | (mode_vert_quad << 2)
+            | (mode_hori_quad << 3))
