@@ -1,9 +1,10 @@
-"""Benchmark: decoded frames/s of the JAX pixel backend vs the reference
-CPU decoder on the same stream.  Prints ONE JSON line.
+"""Benchmark: decoded frames/s of the TPU decoder vs the reference CPU
+decoder on a 1080p IPPP Baseline stream (BASELINE.json config 2).
 
-The stream is generated deterministically (tools/evc_enc); the reference
-baseline fps is measured live when refbin/xevdb_app exists, else a recorded
-constant is used.
+Prints ONE JSON line.  The reference fps is always measured live with
+refbin/xevdb_app (built from /root/reference if missing — BASELINE.md
+recipe); there is no recorded-constant fallback.  vs_baseline uses the
+best of -m 1 / -m 8 as the denominator.
 """
 from __future__ import annotations
 
@@ -18,46 +19,67 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
 
-W, H, FRAMES, QP, SEED = 176, 144, 8, 30, 123
-RECORDED_REF_FPS = 1244.0  # xevdb_app -m 8 on this stream (this host, r1)
+W, H, FRAMES, QP, SEED, DENSITY = 1920, 1080, 16, 32, 777, 0.3
+STREAM = REPO / "tests" / "fixtures" / "b1080p_ippp.evc"
+
+
+def ensure_ref_bin() -> Path:
+    ref_bin = REPO / "refbin" / "xevdb_app"
+    if ref_bin.exists():
+        return ref_bin
+    build = Path("/tmp/xevd_base_build")
+    build.mkdir(parents=True, exist_ok=True)
+    subprocess.run(["cmake", "/root/reference", "-DSET_PROF=BASE",
+                    "-DCMAKE_BUILD_TYPE=Release"], cwd=build, check=True,
+                   capture_output=True)
+    subprocess.run(["make", "-j4"], cwd=build, check=True,
+                   capture_output=True)
+    (REPO / "refbin").mkdir(exist_ok=True)
+    ref_bin.write_bytes((build / "bin" / "xevdb_app").read_bytes())
+    ref_bin.chmod(0o755)
+    return ref_bin
+
+
+def measure_ref(ref_bin: Path, stream: Path, threads: int) -> float:
+    r = subprocess.run(
+        [str(ref_bin), "-i", str(stream), "-o", "/tmp/bench_ref.yuv",
+         "-m", str(threads)],
+        capture_output=True, text=True, timeout=600)
+    for line in r.stdout.splitlines():
+        if "frames/sec" in line:
+            return float(line.split("=")[-1].split()[0])
+    raise RuntimeError(f"reference decode failed:\n{r.stdout}\n{r.stderr}")
 
 
 def main():
-    import evc_enc
-    stream_path = Path("/tmp/bench_stream.evc")
-    if not stream_path.exists():
-        stream_path.write_bytes(
-            evc_enc.encode_stream(W, H, FRAMES, QP, SEED, "IPPP"))
+    if not STREAM.exists():
+        import evc_enc
+        STREAM.parent.mkdir(parents=True, exist_ok=True)
+        STREAM.write_bytes(evc_enc.encode_stream(
+            W, H, FRAMES, QP, SEED, "IPPP", DENSITY))
 
-    # reference baseline (best-effort)
-    ref_fps = RECORDED_REF_FPS
-    ref_bin = REPO / "refbin" / "xevdb_app"
-    if ref_bin.exists():
-        try:
-            r = subprocess.run(
-                [str(ref_bin), "-i", str(stream_path), "-o",
-                 "/tmp/bench_ref.yuv", "-m", "8"],
-                capture_output=True, text=True, timeout=300)
-            for line in r.stdout.splitlines():
-                if "frames/sec" in line:
-                    ref_fps = float(line.split("=")[-1].split()[0])
-        except Exception:
-            pass
+    ref_bin = ensure_ref_bin()
+    ref_fps = max(measure_ref(ref_bin, STREAM, 1),
+                  measure_ref(ref_bin, STREAM, 8))
 
     from xevd_tpu.decoder import Decoder
     from xevd_tpu.ops.pipeline import JaxPixelBackend
     from xevd_tpu import NAL_UNIT_LENGTH_BYTE, info
 
-    data = stream_path.read_bytes()
+    data = STREAM.read_bytes()
 
-    def decode_once():
+    def decode_once(measure_host=False):
         dec = Decoder(backend=JaxPixelBackend())
         pos = 0
         n = 0
+        host_t = 0.0
         while pos + NAL_UNIT_LENGTH_BYTE <= len(data):
             ln, _, _ = info(data[pos:pos + 6])
             pos += NAL_UNIT_LENGTH_BYTE
+            t0 = time.time() if measure_host else 0.0
             stat = dec.decode(data[pos:pos + ln])
+            if measure_host:
+                host_t += time.time() - t0
             pos += ln
             if stat.fnum >= 0:
                 dec.pull()
@@ -67,18 +89,22 @@ def main():
             if f is None:
                 break
             n += 1
-        return n
+        return n, host_t
 
-    decode_once()                     # warm-up (jit compiles)
+    decode_once()                     # warm-up (jit compiles, cached)
     t0 = time.time()
-    n = decode_once()
+    n, host_t = decode_once(measure_host=True)
     el = time.time() - t0
     fps = n / el
     print(json.dumps({
-        "metric": "decoded_frames_per_sec_qcif_ippp",
+        "metric": "decoded_frames_per_sec_1080p_ippp",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / ref_fps, 5),
+        "vs_baseline": round(fps / ref_fps, 4),
+        "ref_fps_best": round(ref_fps, 3),
+        "frames": n,
+        "total_ms_per_frame": round(1000 * el / n, 2),
+        "host_ms_per_frame": round(1000 * host_t / n, 2),
     }))
 
 

@@ -56,22 +56,24 @@ CASES = [
 ]
 
 
-def my_decode(stream, out):
+def my_decode(stream, out, backend="numpy"):
     from xevd_tpu.app import main
     rc = main(["-i", str(stream), "-o", str(out), "-v", "0",
-               "--output-bit-depth", "10"])
+               "--output-bit-depth", "10", "--backend", backend])
     assert rc == 0
 
 
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
 @pytest.mark.parametrize("name,w,h,n,qp,seed,gop,tools", CASES)
-def test_main_golden(fixtures_dir, name, w, h, n, qp, seed, gop, tools):
+def test_main_golden(fixtures_dir, name, w, h, n, qp, seed, gop, tools,
+                     backend):
     stream = make_stream(fixtures_dir / f"{name}.evc", w, h, n, qp, seed,
                          gop, profile=1, tools=tools)
     golden = ref_decode(stream, fixtures_dir / f"{name}_ref.yuv", main=True)
-    out = fixtures_dir / f"{name}_my.yuv"
+    out = fixtures_dir / f"{name}_my_{backend}.yuv"
     if out.exists():
         out.unlink()
-    my_decode(stream, out)
+    my_decode(stream, out, backend=backend)
     assert golden.read_bytes() == out.read_bytes(), f"{name}: output differs"
     out.unlink()
 

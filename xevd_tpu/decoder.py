@@ -19,8 +19,24 @@ from .derive import derive_frame
 from .dpb import Picture, PictureManager
 from .frame import EntropyDecoder
 from .ops import ref_numpy as RN
-from .syntax import (MalformedBitstream, parse_nalu_header, parse_pps,
-                     parse_sei, parse_sh, parse_sps)
+from .syntax import (MalformedBitstream, UnsupportedStream,
+                     parse_nalu_header, parse_pps, parse_sei, parse_sh,
+                     parse_sps)
+
+
+def check_decoder_caps(sps):
+    """Refuse toolsets the decoder cannot decode bit-exactly yet; a silent
+    wrong decode is worse than an error (SPS tool flags: syntax.py:176-207,
+    ref: src_base/xevd_def.h:841-894)."""
+    unsup = []
+    if getattr(sps, "is_main", False):
+        for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
+                           ("tool_dmvr", "dmvr")):
+            if getattr(sps, flag, 0):
+                unsup.append(name)
+    if unsup:
+        raise UnsupportedStream(
+            f"stream enables unimplemented tool(s): {', '.join(unsup)}")
 
 
 @dataclass
@@ -121,7 +137,7 @@ class NumpyPixelBackend:
             x, y = fs.cu_x[i], fs.cu_y[i]
             lw_, lh_ = fs.cu_log2w[i], fs.cu_log2h[i]
             cbf = fs.cu_cbf[i]
-            ats_cu, ats_mode, ats_inter =                 fs.cu_ats[i] if fs.cu_ats else (0, 0, 0)
+            ats_cu, ats_mode, ats_inter = fs.cu_ats[i]
             r = [None, None, None]
             if cbf[0]:
                 qp_y = fs.cu_qp[i] + 6 * (bd - 8)
@@ -237,7 +253,7 @@ class NumpyPixelBackend:
             x, y = fs.cu_x[i], fs.cu_y[i]
             cuw = 1 << fs.cu_log2w[i]
             cuh = 1 << fs.cu_log2h[i]
-            tree = fs.cu_tree[i] if fs.cu_tree else 0
+            tree = fs.cu_tree[i]
             up_m = int(job.cu_nbr_up[i])
             le_m = int(job.cu_nbr_left[i])
             co = int(job.cu_nbr_corner[i])
@@ -399,6 +415,10 @@ class Decoder:
     # -- internals -----------------------------------------------------
     def _sequence_init(self):
         sps = self.sps
+        check_decoder_caps(sps)
+        check = getattr(self.backend, "check_caps", None)
+        if check is not None:
+            check(sps)
         from .tables import build_chroma_qp_tables
         # Main with tool_iqt picks the main chroma-QP adjust table
         # (ref: src_main/xevdm.c:472-479)

@@ -75,6 +75,34 @@ class FrameSyntax:
     def num_cus(self) -> int:
         return len(self.cu_x)
 
+    _SCALAR_FIELDS = ("cu_x", "cu_y", "cu_log2w", "cu_log2h",
+                      "cu_pred_mode", "cu_ipm", "cu_ipm_c", "cu_qp",
+                      "cu_qp_u", "cu_qp_v", "cu_inter_dir", "cu_tree",
+                      "cu_mvr_idx", "cu_bi_idx", "cu_mmvd_flag",
+                      "cu_mmvd_idx", "cu_avail")
+    _VEC_FIELDS = {"cu_cbf": (3,), "cu_refi": (2,), "cu_mvp_idx": (2,),
+                   "cu_mvd": (2, 2), "cu_ats": (3,)}
+
+    def finalize(self):
+        """Convert the per-CU lists to int32 numpy tensors (decode order).
+        Fields a profile never populated become zero tensors, so consumers
+        index unconditionally and the pixel packers vectorize over them."""
+        n = len(self.cu_x)
+        for name in self._SCALAR_FIELDS:
+            v = getattr(self, name)
+            if len(v) != n:
+                setattr(self, name, np.zeros(n, np.int32))
+            else:
+                setattr(self, name, np.asarray(v, np.int32).reshape(n))
+        for name, shape in self._VEC_FIELDS.items():
+            v = getattr(self, name)
+            if len(v) != n:
+                setattr(self, name, np.zeros((n,) + shape, np.int32))
+            else:
+                setattr(self, name,
+                        np.asarray(v, np.int32).reshape((n,) + shape))
+        return self
+
 
 def get_ctx_some_flags(x_scu, y_scu, scuw, scuh, w_scu, map_skip, map_if,
                        cod):
@@ -465,7 +493,7 @@ class EntropyDecoder:
         while not self.bs.at_end():
             if self.bs.read(16) not in (0, 0xFFFFFFFF):
                 raise MalformedBitstream("nonzero cabac_zero_word")
-        return fs
+        return fs.finalize()
 
     # -- CU tree --------------------------------------------------------
     def _decode_tree(self, x0, y0, log2_cuw, log2_cuh):

@@ -104,22 +104,20 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     fs.coef_u = coef_u if cfi else None
     fs.coef_v = coef_v if cfi else None
     cu = cu_out[:n]
-    fs.cu_x = cu[:, 0].tolist()
-    fs.cu_y = cu[:, 1].tolist()
-    fs.cu_log2w = cu[:, 2].tolist()
-    fs.cu_log2h = cu[:, 2].tolist()  # Baseline QT: always square
-    fs.cu_pred_mode = cu[:, 3].tolist()
-    fs.cu_ipm = cu[:, 4].tolist()
-    fs.cu_qp = cu[:, 5].tolist()
-    fs.cu_qp_u = cu[:, 6].tolist()
-    fs.cu_qp_v = cu[:, 7].tolist()
-    fs.cu_cbf = cu[:, 8:11].tolist()
-    fs.cu_refi = cu[:, 11:13].tolist()
-    fs.cu_mvp_idx = cu[:, 13:15].tolist()
-    fs.cu_mvd = [[[int(r[15]), int(r[16])], [int(r[17]), int(r[18])]]
-                 for r in cu]
-    fs.cu_inter_dir = cu[:, 19].tolist()
-    fs.cu_avail = [0] * n
+    fs.cu_x = cu[:, 0]
+    fs.cu_y = cu[:, 1]
+    fs.cu_log2w = cu[:, 2]
+    fs.cu_log2h = cu[:, 2]  # Baseline QT: always square
+    fs.cu_pred_mode = cu[:, 3]
+    fs.cu_ipm = cu[:, 4]
+    fs.cu_qp = cu[:, 5]
+    fs.cu_qp_u = cu[:, 6]
+    fs.cu_qp_v = cu[:, 7]
+    fs.cu_cbf = cu[:, 8:11]
+    fs.cu_refi = cu[:, 11:13]
+    fs.cu_mvp_idx = cu[:, 13:15]
+    fs.cu_mvd = cu[:, 15:19].reshape(-1, 2, 2)
+    fs.cu_inter_dir = cu[:, 19]
     fs.map_if = map_if
     fs.map_qp = map_qp
     fs.map_cbfl = map_cbfl
@@ -127,4 +125,4 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     fs.map_skip = map_skip
     fs.edge_hor = edge_hor
     fs.edge_ver = edge_ver
-    return fs
+    return fs.finalize()

@@ -119,6 +119,53 @@ def chroma_ver_pass(plane, st_rows, bit_depth):
     return p2.reshape(H, W).astype(plane.dtype)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def chroma_ver_ordered(u, v, waves, bit_depth):
+    """SUCO-order chroma vertical-edge pass.
+
+    Under SUCO the left-right CU visit order flips, so horizontally
+    cascading chroma edges must run in the reference's per-CU order
+    (ref: src_main/xevdm.c:1854-1933 recon/deblock SUCO ordering;
+    src_base/xevd_df.c:388-545 edge gating).  The host assigns each edge a
+    rank within its SCU row (edges in different rows never interact); wave
+    k processes at most one edge per row, so each scan step is a batched
+    gather -> filter -> scatter of [h_scu] tiny windows.
+
+    waves: int32 [n_waves, h_scu, 4] = (row_px, col_px, st_u, st_v) in
+    chroma pixel coords; row_px >= 1<<20 marks an empty slot (scatter
+    drops it).
+    """
+    maxv = (1 << bit_depth) - 1
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2, 1), 1)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2), 2)
+
+    def step(planes, wv):
+        up, vp = planes
+        yy, xx, stu, stv = wv[:, 0], wv[:, 1], wv[:, 2], wv[:, 3]
+        ys = jnp.clip(yy, 0, up.shape[0] - 2)
+        xs = jnp.clip(xx - 2, 0, up.shape[1] - 4)
+
+        def gather(pl):
+            def one(y, x):
+                return jax.lax.dynamic_slice(pl, (y, x), (2, 4))
+            return jax.vmap(one)(ys, xs).astype(jnp.int32)   # [E, 2, 4]
+
+        rows = yy[:, None, None] + r2                        # [E, 2, 1]
+        cols = xx[:, None, None] - 1 + c2                    # [E, 1, 2]
+
+        def filt(pl, st):
+            w = gather(pl)
+            Bn, Cn = _chroma_filter(w[..., 0], w[..., 1], w[..., 2],
+                                    w[..., 3], st[:, None], maxv)
+            vals = jnp.stack([Bn, Cn], axis=-1).astype(pl.dtype)
+            return pl.at[rows, cols].set(vals, mode="drop")
+
+        return (filt(up, stu), filt(vp, stv)), 0
+
+    (u, v), _ = jax.lax.scan(step, (u, v), waves)
+    return u, v
+
+
 @partial(jax.jit, static_argnums=(2,))
 def chroma_hor_pass(plane, st_cols, bit_depth):
     """Chroma horizontal-edge pass; st_cols [H//2, W]."""

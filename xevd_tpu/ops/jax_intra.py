@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BORDER = 8          # top/left border of carried planes
+BORDER = 72         # top/left border of carried planes (the Main intra
+                    # neighbor row reads reach x-64, ops/jax_intra_main.py)
 PAD_R = 136         # right/bottom border
 
 _IOTA64 = None

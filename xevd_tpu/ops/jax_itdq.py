@@ -24,6 +24,8 @@ import numpy as np
 from .. import tables as T
 
 _TM = {k: jnp.asarray(v, dtype=jnp.int32) for k, v in T.TM.items()}
+_TR7 = {k: jnp.asarray(v, dtype=jnp.int32) for k, v in T.TR_DST7.items()}
+_TR8 = {k: jnp.asarray(v, dtype=jnp.int32) for k, v in T.TR_DCT8.items()}
 
 
 def _floor_shift_recompose(hi, lo, hi_scale_log2, shift):
@@ -50,9 +52,15 @@ def dequant_block(coef, scale, log2_w, log2_h):
     raise NotImplementedError  # folded into itdq_bucket
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def itdq_bucket(coef, scale, log2_w, log2_h, bit_depth):
-    """coef int32 [N, h, w], scale int32 [N] -> residual int16 [N, h, w]."""
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def itdq_bucket(coef, scale, log2_w, log2_h, bit_depth, iqt=False, trs=0):
+    """coef int32 [N, h, w], scale int32 [N] -> residual int16 [N, h, w].
+
+    iqt selects the Main per-stage-clipped DCT-2 (ref:
+    src_main/xevdm_itdq.c:423-708); trs != 0 selects ATS bases
+    (trs = (trh+1)<<2 | (trv+1) with 0=DST7 1=DCT8 per axis, ref:
+    src_main/xevdm_itdq.c:163-421) — ATS stages are also 16-bit clipped,
+    so plain int32 matmuls are exact and no 64-bit splits are needed."""
     ns_scale = 181 if ((log2_w + log2_h) & 1) else 1
     ns_shift = 8 if ((log2_w + log2_h) & 1) else 0
     log2_size = (log2_w + log2_h) >> 1
@@ -72,6 +80,28 @@ def itdq_bucket(coef, scale, log2_w, log2_h, bit_depth):
     p_hi = coef * m_hi
     lev = _floor_shift_recompose(p_hi, p_lo, 12, shift)
     dq = jnp.clip(lev, -32768, 32767)
+
+    if iqt or trs:
+        # Main path: both stages clip to 16 bits, so every matmul operand
+        # is < 2^15 and every accumulation < 2^28 — exact in int32
+        if trs:
+            trh_t, trv_t = (trs >> 2) - 1, (trs & 3) - 1
+            tr_h = (_TR8 if trh_t else _TR7)[log2_w]
+            tr_v = (_TR8 if trv_t else _TR7)[log2_h]
+        else:
+            tr_h, tr_v = _TM[log2_w], _TM[log2_h]
+        s1 = jnp.einsum("vy,nvu->nyu", tr_v, dq,
+                        preferred_element_type=jnp.int32)
+        s1 = jnp.clip((s1 + (1 << 6)) >> 7, -32768, 32767)
+        if trs:
+            shift2 = 6 + 15 - 1 - bit_depth
+        else:
+            shift2 = 12 - (bit_depth - 8)
+        r = jnp.einsum("nyu,ux->nyx", s1, tr_h,
+                       preferred_element_type=jnp.int32)
+        r = (r + (1 << (shift2 - 1))) >> shift2
+        r = jnp.clip(r, -32768, 32767)   # == MIN/MAX_TX_VAL
+        return r.astype(jnp.int16)
 
     # ---- stage 0: S0[n, y, u] = sum_v TMh[v, y] * dq[n, v, u] -----------
     tm_h = _TM[log2_h]

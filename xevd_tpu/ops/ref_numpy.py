@@ -364,7 +364,7 @@ def _cu_deblock_order(fs):
     TREE_C unit filtering chroma only (ref: src_main/xevdm.c:1986-2000).
     Yields (i, do_luma, do_chroma)."""
     for i in range(fs.num_cus()):
-        tree = fs.cu_tree[i] if fs.cu_tree else 0
+        tree = fs.cu_tree[i]
         yield i, tree != 2, tree != 1
 
 

@@ -10,6 +10,12 @@ from .bitstream import BitReader
 from . import tables as T
 
 
+class UnsupportedStream(Exception):
+    """Raised when the stream enables a tool this decoder (or the selected
+    pixel backend) does not implement yet.  Refusing loudly is mandatory:
+    decoding anyway would silently emit wrong pixels."""
+
+
 class MalformedBitstream(Exception):
     pass
 
