@@ -255,6 +255,16 @@ typedef struct {
     uint8_t *edge_hor;
     uint8_t *edge_ver;
     uint8_t *cod_eco;
+    /* derive-pass state (host motion reconstruction, mirrors derive.py /
+       ref: src_base/xevd.c:477-565, xevd_util.c:469-566,632-745) */
+    int derive_on;
+    int constrained_ipred;
+    int poc;
+    int ref0_l0_poc;        /* refp[0][0].poc */
+    const int16_t *ref_mv[2];  /* refp[0][l].map_mv base, or NULL */
+    int r1_poc, r1_list_poc0, have_r1;
+    int16_t *map_mv;        /* out: [h_scu][w_scu][2][2] */
+    int8_t  *map_refi;      /* out: [h_scu][w_scu][2] */
     int n_cus;
     int qp_prev_eco;
     Sbac sbac;
@@ -265,7 +275,10 @@ typedef struct {
 enum {
     F_X = 0, F_Y, F_LOG2, F_PRED_MODE, F_IPM, F_QP, F_QP_U, F_QP_V,
     F_CBF_Y, F_CBF_U, F_CBF_V, F_REFI0, F_REFI1, F_MVP0, F_MVP1,
-    F_MVD0X, F_MVD0Y, F_MVD1X, F_MVD1Y, F_INTER_DIR, CU_FIELDS
+    F_MVD0X, F_MVD0Y, F_MVD1X, F_MVD1Y, F_INTER_DIR,
+    /* derive-pass outputs (final motion + intra availability) */
+    F_MV0X, F_MV0Y, F_MV1X, F_MV1Y, F_RREFI0, F_RREFI1,
+    F_NBR_UP, F_NBR_LEFT, F_NBR_CORNER, CU_FIELDS
 };
 
 static int clip3(int lo, int hi, int v) { return v < lo ? lo : (v > hi ? hi : v); }
@@ -395,6 +408,156 @@ static int read_intra_dir(Dec *d, int x_scu, int y_scu) {
     return ipm;
 }
 
+/* ------------------------------------------------------------------ */
+/* derive pass: baseline motion + intra availability, in decode order
+   (mirrors derive.py; ref: src_base/xevd.c:477-565)                   */
+/* ------------------------------------------------------------------ */
+#define AVAIL_UP 1
+#define AVAIL_LE 2
+#define AVAIL_UP_RI 4
+#define PRED_DIR_C PRED_DIR
+
+static int s16wrap(int v) {
+    v &= 0xFFFF;
+    return v >= 0x8000 ? v - 0x10000 : v;
+}
+
+static int div_trunc(long long a, long long b) {
+    long long q = (a < 0 ? -a : a) / (b < 0 ? -b : b);
+    return (int)(((a < 0) != (b < 0)) ? -q : q);
+}
+
+static void mvp_candidates(Dec *d, int lidx, int x_scu, int y_scu, int scuw,
+                           int avail, int mvp[4][2]) {
+    /* (ref: src_base/xevd_util.c:469-515) */
+    for (int k = 0; k < 4; k++) mvp[k][0] = mvp[k][1] = 1;
+    const int16_t *mm = d->map_mv;
+    int W = d->w_scu;
+    if (avail & AVAIL_LE) {
+        const int16_t *p = mm + ((y_scu * W + x_scu - 1) * 2 + lidx) * 2;
+        mvp[0][0] = p[0]; mvp[0][1] = p[1];
+    }
+    if (avail & AVAIL_UP) {
+        const int16_t *p = mm + (((y_scu - 1) * W + x_scu) * 2 + lidx) * 2;
+        mvp[1][0] = p[0]; mvp[1][1] = p[1];
+    }
+    if (avail & AVAIL_UP_RI) {
+        const int16_t *p =
+            mm + (((y_scu - 1) * W + x_scu + scuw) * 2 + lidx) * 2;
+        mvp[2][0] = p[0]; mvp[2][1] = p[1];
+    }
+    if (d->ref_mv[lidx]) {    /* temporal: refp[0][lidx].map_mv[y][x][0] */
+        const int16_t *p =
+            d->ref_mv[lidx] + ((y_scu * W + x_scu) * 2 + 0) * 2;
+        mvp[3][0] = p[0]; mvp[3][1] = p[1];
+    } else {
+        mvp[3][0] = mvp[3][1] = 0;
+    }
+}
+
+static void derive_cu(Dec *d, int x, int y, int log2, int pred_mode,
+                      const int refi_p[2], const int mvp_idx[2],
+                      int mvd[2][2], int inter_dir, int32_t *rec) {
+    int x_scu = x >> 2, y_scu = y >> 2;
+    int scuw = 1 << (log2 - 2), scuh = scuw;
+    int W = d->w_scu, H = d->h_scu;
+    int mv[2][2] = {{0, 0}, {0, 0}};
+    int refi[2] = {REFI_INVALID, REFI_INVALID};
+    uint32_t up_mask = 0, left_mask = 0;
+    int corner = 0;
+
+    if (pred_mode == MODE_INTRA) {
+        /* (ref: src_base/xevd_ipred.c:33-93, xevd_util.c:689-745) */
+        int n_units = scuw + scuh;
+        if (y_scu > 0)
+            for (int u = 0; u < n_units; u++) {
+                int xs = x_scu + u;
+                if (xs < W && d->cod_eco[(y_scu - 1) * W + xs] &&
+                    (!d->constrained_ipred || d->map_if[(y_scu - 1) * W + xs]))
+                    up_mask |= 1u << u;
+            }
+        if (x_scu > 0)
+            for (int u = 0; u < n_units; u++) {
+                int ys = y_scu + u;
+                if (ys < H && d->cod_eco[ys * W + x_scu - 1] &&
+                    (!d->constrained_ipred || d->map_if[ys * W + x_scu - 1]))
+                    left_mask |= 1u << u;
+            }
+        if (x_scu > 0 && y_scu > 0 &&
+            d->cod_eco[(y_scu - 1) * W + x_scu - 1] &&
+            (!d->constrained_ipred || d->map_if[(y_scu - 1) * W + x_scu - 1]))
+            corner = 1;
+    } else {
+        /* availability (ref: src_base/xevd_util.c:632-687) */
+        int avail = 0;
+        if (x_scu > 0 && !d->map_if[y_scu * W + x_scu - 1] &&
+            d->cod_eco[y_scu * W + x_scu - 1])
+            avail |= AVAIL_LE;
+        if (y_scu > 0) {
+            if (!d->map_if[(y_scu - 1) * W + x_scu]) avail |= AVAIL_UP;
+            if (x_scu + scuw < W &&
+                d->cod_eco[(y_scu - 1) * W + x_scu + scuw] &&
+                !d->map_if[(y_scu - 1) * W + x_scu + scuw])
+                avail |= AVAIL_UP_RI;
+        }
+        int mvp[4][2];
+        if (pred_mode == MODE_SKIP) {
+            int nl = d->slice_type == SLICE_B ? 2 : 1;
+            for (int l = 0; l < nl; l++) {
+                mvp_candidates(d, l, x_scu, y_scu, scuw, avail, mvp);
+                int mi = mvp_idx[l];
+                mv[l][0] = mvp[mi][0]; mv[l][1] = mvp[mi][1];
+                refi[l] = 0;
+            }
+        } else if (inter_dir == PRED_DIR_C) {
+            /* temporal direct (ref: src_base/xevd_util.c:540-566) */
+            int yc = y_scu + scuh - 1, xc = x_scu + scuw - 1;
+            const int16_t *p =
+                d->ref_mv[1] + ((yc * W + xc) * 2 + 0) * 2;
+            int dpoc_co = d->r1_poc - d->r1_list_poc0;
+            int dpoc_l0 = d->poc - d->ref0_l0_poc;
+            int dpoc_l1 = d->r1_poc - d->poc;
+            if (dpoc_co == 0) {
+                mv[0][0] = mv[0][1] = mv[1][0] = mv[1][1] = 0;
+            } else {
+                mv[0][0] = div_trunc((long long)dpoc_l0 * p[0], dpoc_co);
+                mv[0][1] = div_trunc((long long)dpoc_l0 * p[1], dpoc_co);
+                mv[1][0] = div_trunc(-(long long)dpoc_l1 * p[0], dpoc_co);
+                mv[1][1] = div_trunc(-(long long)dpoc_l1 * p[1], dpoc_co);
+            }
+            refi[0] = refi[1] = 0;
+        } else {
+            for (int l = 0; l < 2; l++) {
+                if (((inter_dir + 1) >> l) & 1) {
+                    mvp_candidates(d, l, x_scu, y_scu, scuw, avail, mvp);
+                    int mi = mvp_idx[l];
+                    mv[l][0] = s16wrap(mvp[mi][0] + mvd[l][0]);
+                    mv[l][1] = s16wrap(mvp[mi][1] + mvd[l][1]);
+                    refi[l] = refi_p[l];
+                }
+            }
+        }
+    }
+
+    rec[F_MV0X] = mv[0][0]; rec[F_MV0Y] = mv[0][1];
+    rec[F_MV1X] = mv[1][0]; rec[F_MV1Y] = mv[1][1];
+    rec[F_RREFI0] = refi[0]; rec[F_RREFI1] = refi[1];
+    rec[F_NBR_UP] = (int32_t)up_mask;
+    rec[F_NBR_LEFT] = (int32_t)left_mask;
+    rec[F_NBR_CORNER] = corner;
+
+    for (int j = 0; j < scuh; j++) {
+        int row = (y_scu + j) * W + x_scu;
+        for (int i = 0; i < scuw; i++) {
+            int8_t *rf = d->map_refi + (row + i) * 2;
+            int16_t *mm = d->map_mv + (row + i) * 4;
+            rf[0] = (int8_t)refi[0]; rf[1] = (int8_t)refi[1];
+            mm[0] = (int16_t)mv[0][0]; mm[1] = (int16_t)mv[0][1];
+            mm[2] = (int16_t)mv[1][0]; mm[3] = (int16_t)mv[1][1];
+        }
+    }
+}
+
 static void decode_cu(Dec *d, int x, int y, int log2) {
     Sbac *s = &d->sbac;
     int x_scu = x >> 2, y_scu = y >> 2;
@@ -464,6 +627,12 @@ static void decode_cu(Dec *d, int x, int y, int log2) {
     rec[F_MVD0X] = mvd[0][0]; rec[F_MVD0Y] = mvd[0][1];
     rec[F_MVD1X] = mvd[1][0]; rec[F_MVD1Y] = mvd[1][1];
     rec[F_INTER_DIR] = inter_dir;
+    if (d->derive_on) {
+        int refi_p[2] = {refi0, refi1};
+        int mvp_i[2] = {mvp_idx0, mvp_idx1};
+        derive_cu(d, x, y, log2, pred_mode, refi_p, mvp_i, mvd, inter_dir,
+                  rec);
+    }
     d->n_cus++;
 
     int is_intra = pred_mode == MODE_INTRA;
@@ -515,7 +684,12 @@ int evc_decode_slice(
     int32_t *cu_out,
     uint8_t *map_if, int32_t *map_qp, uint8_t *map_cbfl, int8_t *map_ipm,
     uint8_t *map_skip, uint8_t *edge_hor, uint8_t *edge_ver,
-    uint8_t *cod_eco_buf)
+    uint8_t *cod_eco_buf,
+    /* derive pass (NULL map_mv_out disables it) */
+    int16_t *map_mv_out, int8_t *map_refi_out,
+    int constrained_ipred, int poc, int ref0_l0_poc,
+    const int16_t *ref_l0_mv, const int16_t *ref_l1_mv,
+    int r1_poc, int r1_list_poc0)
 {
     scan_tables_init();
     Dec d;
@@ -539,6 +713,16 @@ int evc_decode_slice(
     d.edge_hor = edge_hor; d.edge_ver = edge_ver;
     d.cod_eco = cod_eco_buf;
     d.qp_prev_eco = qp;
+    d.derive_on = map_mv_out != NULL;
+    d.map_mv = map_mv_out;
+    d.map_refi = map_refi_out;
+    d.constrained_ipred = constrained_ipred;
+    d.poc = poc;
+    d.ref0_l0_poc = ref0_l0_poc;
+    d.ref_mv[0] = ref_l0_mv;
+    d.ref_mv[1] = ref_l1_mv;
+    d.r1_poc = r1_poc;
+    d.r1_list_poc0 = r1_list_poc0;
 
     memset(map_ipm, -1, (size_t)d.w_scu * d.h_scu);
 

@@ -466,17 +466,21 @@ class Decoder:
         num_refp = tuple(self.dpm.num_refp)
 
         if self.use_native_entropy and not sps.is_main:
+            from .derive import job_from_native
             from .native import decode_slice_native
             payload = bytes(bs.buf[bs.bytes_read():])
-            fs = decode_slice_native(payload, sps, pps, sh, num_refp,
-                                     self.chroma_qp_tbl)
+            fs, native_job = decode_slice_native(
+                payload, sps, pps, sh, num_refp, self.chroma_qp_tbl,
+                refp=refp, poc=self.poc.poc_val)
+            job = job_from_native(fs, sps, sh, self.chroma_qp_tbl,
+                                  native_job)
         else:
             ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl,
                                  log2_ctu=self.log2_ctu)
             fs = ent.decode_slice(bs, sh, num_refp)
-        job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
-                           self.chroma_qp_tbl, num_refp=num_refp,
-                           log2_ctu=self.log2_ctu)
+            job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
+                               self.chroma_qp_tbl, num_refp=num_refp,
+                               log2_ctu=self.log2_ctu)
         rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
 
         # build / recycle picture with padded planes

@@ -281,6 +281,28 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     return job
 
 
+def job_from_native(fs: FrameSyntax, sps, sh, chroma_qp_tbl,
+                    native_job) -> FrameJob:
+    """Assemble a FrameJob from the native C derive pass outputs
+    (native/evc_entropy.c derive_cu) + the vectorized strength derivation."""
+    job = FrameJob(fs=fs, bit_depth=sps.bit_depth_luma_minus8 + 8,
+                   chroma_format_idc=sps.chroma_format_idc)
+    job.cu_mv = native_job["cu_mv"]
+    job.cu_refi = native_job["cu_refi"]
+    job.map_mv = native_job["map_mv"]
+    job.map_refi = native_job["map_refi"]
+    job.cu_nbr_up = native_job["nbr_up"]
+    job.cu_nbr_left = native_job["nbr_left"]
+    job.cu_nbr_corner = native_job["nbr_corner"]
+    if sh.deblocking_filter_on:
+        _deblock_strengths(job, fs, sps, sh, chroma_qp_tbl)
+    else:
+        z = np.zeros((fs.h_scu, fs.w_scu), dtype=np.int32)
+        job.db_hor_y = job.db_hor_u = job.db_hor_v = z
+        job.db_ver_y = job.db_ver_u = job.db_ver_v = z
+    return job
+
+
 def _s16(v):
     v &= 0xFFFF
     return v - 0x10000 if v >= 0x8000 else v

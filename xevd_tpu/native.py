@@ -20,7 +20,7 @@ _REPO = Path(__file__).resolve().parent.parent
 _SO = _REPO / "native" / "libevc_entropy.so"
 _LIB = None
 
-CU_FIELDS = 20
+CU_FIELDS = 29
 
 
 def _build():
@@ -53,8 +53,12 @@ def available() -> bool:
 
 
 def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
-                        chroma_qp_tbl) -> FrameSyntax:
-    """Native equivalent of frame.EntropyDecoder.decode_slice."""
+                        chroma_qp_tbl, refp=None, poc=0):
+    """Native equivalent of frame.EntropyDecoder.decode_slice PLUS the
+    baseline derive pass (final motion, intra availability) in C.
+
+    Returns (fs, native_job) where native_job carries the derive outputs
+    (cu_mv/cu_refi/nbr masks/map_mv/map_refi) for derive.job_from_native."""
     lib = get_lib()
     w = sps.pic_width_in_luma_samples
     h = sps.pic_height_in_luma_samples
@@ -84,6 +88,25 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
+    # derive-pass inputs (ref: src_base/xevd_util.c:469-566)
+    map_mv = np.zeros((h_scu, w_scu, 2, 2), np.int16)
+    map_refi = np.full((h_scu, w_scu, 2), -1, np.int8)
+    null16 = ctypes.POINTER(ctypes.c_int16)()
+    ref_mv = [null16, null16]
+    ref0_l0_poc = r1_poc = r1_list_poc0 = 0
+    keep = []
+    if refp is not None:
+        for lidx in range(2):
+            if num_refp[lidx] > 0:
+                mvd = np.ascontiguousarray(refp[0][lidx].map_mv, np.int16)
+                keep.append(mvd)
+                ref_mv[lidx] = ptr(mvd, ctypes.c_int16)
+        if num_refp[0] > 0:
+            ref0_l0_poc = int(refp[0][0].poc)
+        if num_refp[1] > 0:
+            r1_poc = int(refp[0][1].poc)
+            r1_list_poc0 = int(refp[0][1].list_poc[0])
+
     n = lib.evc_decode_slice(
         payload, len(payload), w, h, sh.slice_type, sh.qp,
         sh.qp_u_offset, sh.qp_v_offset, pps.cu_qp_delta_enabled_flag,
@@ -94,7 +117,10 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
         ptr(map_if, ctypes.c_uint8), ptr(map_qp, ctypes.c_int32),
         ptr(map_cbfl, ctypes.c_uint8), ptr(map_ipm, ctypes.c_int8),
         ptr(map_skip, ctypes.c_uint8), ptr(edge_hor, ctypes.c_uint8),
-        ptr(edge_ver, ctypes.c_uint8), ptr(cod_eco, ctypes.c_uint8))
+        ptr(edge_ver, ctypes.c_uint8), ptr(cod_eco, ctypes.c_uint8),
+        ptr(map_mv, ctypes.c_int16), ptr(map_refi, ctypes.c_int8),
+        pps.constrained_intra_pred_flag, int(poc), ref0_l0_poc,
+        ref_mv[0], ref_mv[1], r1_poc, r1_list_poc0)
     if n < 0:
         raise ValueError(f"native entropy decode failed: {n}")
 
@@ -125,4 +151,14 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     fs.map_skip = map_skip
     fs.edge_hor = edge_hor
     fs.edge_ver = edge_ver
-    return fs.finalize()
+    fs.finalize()
+    native_job = {
+        "cu_mv": cu[:, 20:24].reshape(-1, 2, 2).astype(np.int32),
+        "cu_refi": cu[:, 24:26].astype(np.int32),
+        "nbr_up": cu[:, 26].astype(np.int64) & 0xFFFFFFFF,
+        "nbr_left": cu[:, 27].astype(np.int64) & 0xFFFFFFFF,
+        "nbr_corner": cu[:, 28].astype(np.uint8),
+        "map_mv": map_mv,
+        "map_refi": map_refi,
+    }
+    return fs, native_job

@@ -355,133 +355,216 @@ class JaxPixelBackend:
 
     # ------------------------------------------------------------------
     def _pack_itdq(self, pk, fs, bd, chroma, iqt=False):
-        buckets = defaultdict(list)
-        n = fs.num_cus()
+        """Vectorized TU bucketing: one fancy-indexed coefficient gather per
+        (size, transform) bucket instead of a per-CU Python loop."""
+        pm = fs.cu_pred_mode
+        cbf = fs.cu_cbf
+        coded = pm != T.MODE_SKIP
+        ats = fs.cu_ats                     # [N,3] (cu, mode, inter)
+        dq_tbl = T.DQ_SCALE if iqt else T.DQ_SCALE_B
 
-        def put(plane, lw, lh, yy, xx, scale, trs):
-            w, h = 1 << lw, 1 << lh
-            row = np.empty(3 + w * h, np.int32)
-            row[0] = scale
-            row[1] = yy + BORDER
-            row[2] = xx + BORDER
-            row[3:] = plane[yy:yy + h, xx:xx + w].ravel()
-            buckets[(lw, lh,
-                     0 if plane is fs.coef_y else
-                     (1 if plane is fs.coef_u else 2), trs)].append(row)
+        def scales(qp):
+            return dq_tbl[qp % 6].astype(np.int64) << (qp // 6)
 
-        for i in range(n):
-            if fs.cu_pred_mode[i] == T.MODE_SKIP:
-                continue
-            cbf = fs.cu_cbf[i]
-            x, y = fs.cu_x[i], fs.cu_y[i]
-            lw_, lh_ = fs.cu_log2w[i], fs.cu_log2h[i]
-            ats_cu, ats_mode, ats_inter = fs.cu_ats[i]
-            if cbf[0]:
-                if ats_inter:
-                    ltw, lth = T.ats_inter_tu_size(ats_inter, lw_, lh_)
-                    xo, yo = T.ats_inter_tu_offset(ats_inter, lw_, lh_)
-                    a_cu, a_mode = T.ats_inter_trs(ats_inter, lw_, lh_)
+        entries = []                        # (comp, idx, lw, lh, xo, yo, trs)
+
+        def split_ats(comp, idx, lw, lh):
+            """Split selected CUs into plain vs ATS-affected subsets and
+            emit per-entry TU geometry (rare ATS path loops; plain is
+            fully vectorized)."""
+            inter = ats[idx, 2]
+            plain = inter == 0
+            pidx = idx[plain]
+            if comp == 0:
+                a_cu = ats[pidx, 0]
+                a_mode = ats[pidx, 1]
+                trs_p = np.where(
+                    a_cu != 0,
+                    (((a_mode >> 1) + 1) << 2) | ((a_mode & 1) + 1), 0)
+            else:
+                trs_p = np.zeros(len(pidx), np.int32)
+            for trs in np.unique(trs_p):
+                sel = pidx[trs_p == trs]
+                entries.append((comp, sel, lw[plain][trs_p == trs],
+                                lh[plain][trs_p == trs],
+                                np.zeros(len(sel), np.int32),
+                                np.zeros(len(sel), np.int32), int(trs)))
+            for j in np.nonzero(~plain)[0]:  # ATS-inter sub-TUs (rare)
+                i = idx[j]
+                lwi, lhi = int(lw[j]), int(lh[j])
+                info = int(ats[i, 2])
+                ltw, lth = T.ats_inter_tu_size(info, lwi, lhi)
+                xo, yo = T.ats_inter_tu_offset(info, lwi, lhi)
+                if comp == 0:
+                    a_cu, a_mode = T.ats_inter_trs(info, lwi, lhi)
+                    trs = ((((a_mode >> 1) + 1) << 2) | ((a_mode & 1) + 1)) \
+                        if a_cu else 0
                 else:
-                    ltw, lth, xo, yo = lw_, lh_, 0, 0
-                    a_cu, a_mode = ats_cu, ats_mode
-                trs = ((((a_mode >> 1) + 1) << 2) | ((a_mode & 1) + 1)) \
-                    if a_cu else 0
-                put(fs.coef_y, ltw, lth, y + yo, x + xo,
-                    qp_scale(fs.cu_qp[i] + 6 * (bd - 8), iqt), trs)
-            if chroma and (cbf[1] or cbf[2]):
-                lw, lh = lw_ - 1, lh_ - 1
-                ltw, lth = T.ats_inter_tu_size(ats_inter, lw, lh)
-                xo, yo = T.ats_inter_tu_offset(ats_inter, lw, lh)
-                xc, yc = x >> 1, y >> 1
-                if cbf[1]:
-                    put(fs.coef_u, ltw, lth, yc + yo, xc + xo,
-                        qp_scale(fs.cu_qp_u[i], iqt), 0)
-                if cbf[2]:
-                    put(fs.coef_v, ltw, lth, yc + yo, xc + xo,
-                        qp_scale(fs.cu_qp_v[i], iqt), 0)
-        for key in list(self._sched_keys("q")):
-            if key not in buckets:
-                buckets[key] = []
-        for (lw, lh, comp, trs), rows in buckets.items():
+                    trs = 0
+                entries.append((comp, np.array([i]),
+                                np.array([ltw]), np.array([lth]),
+                                np.array([xo]), np.array([yo]), trs))
+
+        idx_y = np.nonzero(coded & (cbf[:, 0] != 0))[0]
+        split_ats(0, idx_y, fs.cu_log2w[idx_y], fs.cu_log2h[idx_y])
+        if chroma:
+            for comp in (1, 2):
+                idx_c = np.nonzero(coded & (cbf[:, comp] != 0))[0]
+                split_ats(comp, idx_c, fs.cu_log2w[idx_c] - 1,
+                          fs.cu_log2h[idx_c] - 1)
+
+        buckets = defaultdict(list)         # key -> [(idx, xo, yo, trs)]
+        for comp, idx, lw, lh, xo, yo, trs in entries:
+            if len(idx) == 0:
+                continue
+            key = np.stack([lw, lh], 1)
+            uniq, inv = np.unique(key, axis=0, return_inverse=True)
+            for k, (lwv, lhv) in enumerate(uniq):
+                m = inv == k
+                buckets[(int(lwv), int(lhv), comp, trs)].append(
+                    (idx[m], xo[m], yo[m]))
+
+        out = {}
+        planes = (fs.coef_y, fs.coef_u, fs.coef_v)
+        qps = (fs.cu_qp + 6 * (bd - 8), fs.cu_qp_u, fs.cu_qp_v)
+        shifts = (0, 1, 1)
+        for (lw, lh, comp, trs), groups in buckets.items():
+            idx = np.concatenate([g[0] for g in groups])
+            xo = np.concatenate([g[1] for g in groups])
+            yo = np.concatenate([g[2] for g in groups])
+            s = shifts[comp] if comp else 0
+            xs = (fs.cu_x[idx] >> s) + xo
+            ys = (fs.cu_y[idx] >> s) + yo
+            w, h = 1 << lw, 1 << lh
+            N = len(idx)
+            blocks = planes[comp][
+                ys[:, None, None] + np.arange(h)[None, :, None],
+                xs[:, None, None] + np.arange(w)[None, None, :]]
+            arr_n = np.empty((N, 3 + w * h), np.int32)
+            arr_n[:, 0] = scales(qps[comp][idx])
+            arr_n[:, 1] = ys + BORDER
+            arr_n[:, 2] = xs + BORDER
+            arr_n[:, 3:] = blocks.reshape(N, -1)
+            out[(lw, lh, comp, trs)] = arr_n
+        for key in self._sched_keys("q"):
+            if key not in out:
+                out[key] = np.zeros((0, 3 + (1 << key[0]) * (1 << key[1])),
+                                    np.int32)
+        for (lw, lh, comp, trs), arr_n in out.items():
             name = f"q_{lw}_{lh}_{comp}_{trs}"
-            N = len(rows)
+            N = len(arr_n)
             Np = self._rows(name, max(N, 1))
             width = 3 + (1 << lw) * (1 << lh)
             arr = np.zeros((Np, width), np.int32)
-            if N:
-                arr[:N] = np.stack(rows)
+            arr[:N] = arr_n
             arr[N:, 1:3] = 1 << 20          # OOB positions -> dropped
             pk.add(name, arr)
 
     # ------------------------------------------------------------------
     def _pack_mc(self, pk, fs, job, refp, chroma):
+        """Vectorized MC bucketing (ref semantics: src_base/xevd_mc.c:
+        435-557 clip + identical-motion skip + case dispatch)."""
+        inter = fs.cu_pred_mode != T.MODE_INTRA
+        idx = np.nonzero(inter)[0]
+        if len(idx) == 0:
+            for key in self._sched_keys("m"):
+                self._emit_mc_bucket(pk, key, np.zeros((0, 5), np.int32))
+            return (None, None, None), False
+
+        x = fs.cu_x[idx]
+        y = fs.cu_y[idx]
+        cuw = (1 << fs.cu_log2w[idx]).astype(np.int64)
+        cuh = (1 << fs.cu_log2h[idx]).astype(np.int64)
+        refi = job.cu_refi[idx]              # [M, 2]
+        mv = job.cu_mv[idx].astype(np.int64)  # [M, 2, 2]
+
+        # vectorized MV clip (ref: src_base/xevd_mc.c:435-467)
+        x4 = (x << 2).astype(np.int64)[:, None]
+        y4 = (y << 2).astype(np.int64)[:, None]
+        w4 = (cuw << 2)[:, None]
+        h4 = (cuh << 2)[:, None]
+        lo = -(T.MAX_CU_SIZE << 2)
+        hix = (fs.w - 1 + T.MAX_CU_SIZE) << 2
+        hiy = (fs.h - 1 + T.MAX_CU_SIZE) << 2
+        mvx = mv[:, :, 0]
+        mvy = mv[:, :, 1]
+        mvx_c = np.where(x4 + mvx < lo, lo - x4, mvx)
+        mvy_c = np.where(y4 + mvy < lo, lo - y4, mvy)
+        mvx_c = np.where(x4 + mvx + w4 - 4 > hix, hix - x4 - w4 + 4, mvx_c)
+        mvy_c = np.where(y4 + mvy + h4 - 4 > hiy, hiy - y4 - h4 + 4, mvy_c)
+
+        # poc per (list, refi) for the identical-motion test
+        max_ref = int(refi.max()) + 1 if refi.size else 0
+        poc_tbl = np.full((2, max(max_ref, 1)), -(1 << 30), np.int64)
+        used = set()
+        for lidx in range(2):
+            for r in np.unique(refi[:, lidx]):
+                if r >= 0:
+                    poc_tbl[lidx, r] = refp[r][lidx].poc
+                    used.add((lidx, int(r)))
+        pocs = np.take_along_axis(
+            poc_tbl, np.maximum(refi, 0).T, 1).T       # [M, 2] via transpose
+        valid = refi >= 0
+        dup = (valid[:, 0] & valid[:, 1]
+               & (pocs[:, 0] == pocs[:, 1])
+               & (mvx_c[:, 0] == mvx_c[:, 1])
+               & (mvy_c[:, 0] == mvy_c[:, 1]))
+        valid = valid.copy()
+        valid[:, 1] &= ~dup                  # identical-motion skip
+
         ref_map = {}
         planes_y, planes_u, planes_v = [], [], []
+        slot_tbl = np.zeros((2, max(max_ref, 1)), np.int32)
+        for (lidx, r) in sorted(used):
+            pic = refp[r][lidx].pic
+            ref_map[(lidx, r)] = len(planes_y)
+            slot_tbl[lidx, r] = len(planes_y)
+            planes_y.append(pic.y)
+            if chroma:
+                planes_u.append(pic.u)
+                planes_v.append(pic.v)
 
-        def ref_slot(lidx, ridx):
-            key = (lidx, ridx)
-            if key not in ref_map:
-                pic = refp[ridx][lidx].pic
-                ref_map[key] = len(planes_y)
-                planes_y.append(pic.y)
-                if chroma:
-                    planes_u.append(pic.u)
-                    planes_v.append(pic.v)
-            return ref_map[key]
-
-        buckets = defaultdict(list)
-        n = fs.num_cus()
-        for i in range(n):
-            if fs.cu_pred_mode[i] == T.MODE_INTRA:
+        buckets = {}
+        pad = T.PIC_PAD_SIZE_L
+        pad_c = T.PIC_PAD_SIZE_C
+        for lidx in range(2):
+            sel = np.nonzero(valid[:, lidx])[0]
+            if len(sel) == 0:
                 continue
-            x, y = fs.cu_x[i], fs.cu_y[i]
-            cuw = 1 << fs.cu_log2w[i]
-            cuh = 1 << fs.cu_log2h[i]
-            refi = job.cu_refi[i]
-            mv = job.cu_mv[i]
-            entries = []
-            for lidx in range(2):
-                if refi[lidx] < 0:
-                    continue
-                mvx_c, mvy_c = _mv_clip(x, y, fs.w, fs.h, cuw, cuh, mv[lidx])
-                gx16 = (((x << 2) + mvx_c) << 2)
-                gy16 = (((y << 2) + mvy_c) << 2)
-                pic = refp[refi[lidx]][lidx].pic
-                entries.append((lidx, int(refi[lidx]), gx16, gy16,
-                                int(mv[lidx][0]), int(mv[lidx][1]),
-                                pic.poc, mvx_c, mvy_c))
-            if len(entries) == 2 and entries[0][6:9] == entries[1][6:9]:
-                entries = entries[:1]        # identical-motion skip
-            for (lidx, ridx, gx16, gy16, mvx, mvy, _, _, _) in entries:
-                slot = ref_slot(lidx, ridx)
-                fx = (mvx << 2) & 15
-                fy = (mvy << 2) & 15
-                case = (1 if fx else 0) | (2 if fy else 0)
-                pad = T.PIC_PAD_SIZE_L
-                buckets[("l", cuw, cuh, case)].append(
-                    (slot, gx16 + (pad << 4), gy16 + (pad << 4),
-                     y + BORDER, x + BORDER))
-                if chroma:
-                    fx_c = (mvx << 2) & 31
-                    fy_c = (mvy << 2) & 31
-                    case_c = (1 if fx_c else 0) | (2 if fy_c else 0)
-                    pad_c = T.PIC_PAD_SIZE_C
-                    buckets[("c", cuw >> 1, cuh >> 1, case_c)].append(
-                        (slot, gx16 + (pad_c << 5), gy16 + (pad_c << 5),
-                         (y >> 1) + BORDER, (x >> 1) + BORDER))
+            gx16 = (((x[sel].astype(np.int64) << 2) + mvx_c[sel, lidx]) << 2)
+            gy16 = (((y[sel].astype(np.int64) << 2) + mvy_c[sel, lidx]) << 2)
+            slot = slot_tbl[lidx, refi[sel, lidx]]
+            fx = (mvx[sel, lidx] << 2) & 15
+            fy = (mvy[sel, lidx] << 2) & 15
+            case = (fx != 0) * 1 + (fy != 0) * 2
+            rows = np.stack([slot, gx16 + (pad << 4), gy16 + (pad << 4),
+                             y[sel] + BORDER, x[sel] + BORDER],
+                            1).astype(np.int32)
+            key = np.stack([cuw[sel], cuh[sel], case], 1)
+            uniq, inv = np.unique(key, axis=0, return_inverse=True)
+            for k, (w_, h_, c_) in enumerate(uniq):
+                buckets.setdefault(("l", int(w_), int(h_), int(c_)),
+                                   []).append(rows[inv == k])
+            if chroma:
+                fx_c = (mvx[sel, lidx] << 2) & 31
+                fy_c = (mvy[sel, lidx] << 2) & 31
+                case_c = (fx_c != 0) * 1 + (fy_c != 0) * 2
+                rows_c = np.stack(
+                    [slot, gx16 + (pad_c << 5), gy16 + (pad_c << 5),
+                     (y[sel] >> 1) + BORDER, (x[sel] >> 1) + BORDER],
+                    1).astype(np.int32)
+                key_c = np.stack([cuw[sel] >> 1, cuh[sel] >> 1, case_c], 1)
+                uniq_c, inv_c = np.unique(key_c, axis=0, return_inverse=True)
+                for k, (w_, h_, c_) in enumerate(uniq_c):
+                    buckets.setdefault(("c", int(w_), int(h_), int(c_)),
+                                       []).append(rows_c[inv_c == k])
 
-        for key in list(self._sched_keys("m")):
-            if key not in buckets:
-                buckets[key] = []
-        for (pl, w, h, case), entries in buckets.items():
-            name = f"m_{pl}_{w}_{h}_{case}"
-            N = len(entries)
-            Np = self._rows(name, max(N, 64))
-            arr = np.zeros((Np, 5), np.int32)
-            if N:
-                arr[:N] = entries
-            arr[N:, 3:5] = 1 << 20
-            pk.add(name, arr)
+        out = {k: np.concatenate(v) for k, v in buckets.items()}
+        for key in self._sched_keys("m"):
+            if key not in out:
+                out[key] = np.zeros((0, 5), np.int32)
+        for key, arr_n in out.items():
+            self._emit_mc_bucket(pk, key, arr_n)
 
         if planes_y:
             refs = (jnp.stack(planes_y),
@@ -490,54 +573,66 @@ class JaxPixelBackend:
             return refs, True
         return (None, None, None), False
 
+    def _emit_mc_bucket(self, pk, key, arr_n):
+        pl, w, h, case = key
+        name = f"m_{pl}_{w}_{h}_{case}"
+        N = len(arr_n)
+        Np = self._rows(name, max(N, 64))
+        arr = np.zeros((Np, 5), np.int32)
+        arr[:N] = arr_n
+        arr[N:, 3:5] = 1 << 20
+        pk.add(name, arr)
+
     # ------------------------------------------------------------------
     def _pack_intra(self, pk, fs, job):
-        idx = [i for i in range(fs.num_cus())
-               if fs.cu_pred_mode[i] == T.MODE_INTRA]
-        if not idx:
+        idx = np.nonzero(fs.cu_pred_mode == T.MODE_INTRA)[0]
+        if len(idx) == 0:
             return None
         N = len(idx)
         Np = self._rows("icu", max(N, 64))
         arr = np.zeros((Np, 8), np.int32)
         arr[:, 2] = 2
-        for j, i in enumerate(idx):
-            # Baseline intra is always square (JAX intra scan assumes it)
-            if fs.cu_log2w[i] != fs.cu_log2h[i]:
-                raise UnsupportedStream(
-                    "JAX baseline intra kernel: square CUs only")
-            arr[j] = (fs.cu_x[i], fs.cu_y[i], fs.cu_log2w[i], fs.cu_ipm[i],
-                      np.int32(np.uint32(job.cu_nbr_up[i] & 0xFFFFFFFF)),
-                      np.int32(np.uint32(job.cu_nbr_left[i] & 0xFFFFFFFF)),
-                      job.cu_nbr_corner[i], 1)
+        # Baseline intra is always square (JAX intra scan assumes it)
+        if (fs.cu_log2w[idx] != fs.cu_log2h[idx]).any():
+            raise UnsupportedStream(
+                "JAX baseline intra kernel: square CUs only")
+        arr[:N] = np.stack(
+            [fs.cu_x[idx], fs.cu_y[idx], fs.cu_log2w[idx], fs.cu_ipm[idx],
+             (job.cu_nbr_up[idx] & 0xFFFFFFFF).astype(np.uint32)
+             .astype(np.int32),
+             (job.cu_nbr_left[idx] & 0xFFFFFFFF).astype(np.uint32)
+             .astype(np.int32),
+             job.cu_nbr_corner[idx].astype(np.int32),
+             np.ones(N, np.int32)], 1)
         return arr
 
     # ------------------------------------------------------------------
     def _pack_intra_main(self, fs, job):
         """Per-CU tensor rows for the EIPD intra scan
         (ops/jax_intra_main.intra_scan_main)."""
-        idx = [i for i in range(fs.num_cus())
-               if fs.cu_pred_mode[i] == T.MODE_INTRA]
-        if not idx:
+        idx = np.nonzero(fs.cu_pred_mode == T.MODE_INTRA)[0]
+        if len(idx) == 0:
             return None
         N = len(idx)
         Np = self._rows("icum", max(N, 64))
         arr = np.zeros((Np, 13), np.int32)
         arr[:, 2] = 2
         arr[:, 3] = 2
+        if (fs.cu_log2w[idx] > 6).any() or (fs.cu_log2h[idx] > 6).any():
+            raise UnsupportedStream(
+                "JAX EIPD kernel: intra CU > 64 unsupported")
 
         def u32(v):
-            return np.int32(np.uint32(int(v) & 0xFFFFFFFF))
+            return (v & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
 
-        for j, i in enumerate(idx):
-            if fs.cu_log2w[i] > 6 or fs.cu_log2h[i] > 6:
-                raise UnsupportedStream(
-                    "JAX EIPD kernel: intra CU > 64 unsupported")
-            tree = fs.cu_tree[i]
-            arr[j] = (fs.cu_x[i], fs.cu_y[i], fs.cu_log2w[i],
-                      fs.cu_log2h[i], fs.cu_ipm[i], fs.cu_ipm_c[i],
-                      u32(job.cu_nbr_up[i]), u32(job.cu_nbr_left[i]),
-                      u32(job.cu_nbr_right[i]), job.cu_nbr_corner[i],
-                      job.cu_avail_lr[i], tree, 1)
+        arr[:N] = np.stack(
+            [fs.cu_x[idx], fs.cu_y[idx], fs.cu_log2w[idx], fs.cu_log2h[idx],
+             fs.cu_ipm[idx], fs.cu_ipm_c[idx],
+             u32(job.cu_nbr_up[idx]), u32(job.cu_nbr_left[idx]),
+             u32(job.cu_nbr_right[idx]),
+             job.cu_nbr_corner[idx].astype(np.int32),
+             job.cu_avail_lr[idx].astype(np.int32),
+             fs.cu_tree[idx], np.ones(N, np.int32)], 1)
         return arr
 
 
