@@ -8,12 +8,20 @@ import subprocess
 import sys
 from pathlib import Path
 
-# Force CPU + 8 virtual devices BEFORE jax import (any test may import jax).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Force CPU + 8 virtual devices BEFORE jax import (any test may import
+# jax).  Hard-set, not setdefault: the session environment pins
+# JAX_PLATFORMS to the TPU platform, and tests must run on the virtual
+# CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+# The image's sitecustomize imports jax at interpreter start, so the env
+# var alone is read too late; the config update below still wins as long
+# as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

@@ -24,11 +24,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: kernels compile once per shape class, ever
+# persistent compilation cache: kernels compile once per shape class, ever.
+# The dir is keyed by the host CPU feature set — XLA:CPU AOT artifacts are
+# machine-specific, and loading one compiled on a different host segfaults.
+import hashlib as _hashlib
 import os as _os
+import platform as _platform
+
+
+def _cache_dir():
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        key = _hashlib.md5(flags.encode()).hexdigest()[:10]
+    except OSError:
+        key = _platform.machine()
+    return _os.path.expanduser(f"~/.cache/xevd_tpu_jit_{key}")
+
+
 jax.config.update("jax_compilation_cache_dir",
-                  _os.environ.get("XEVD_TPU_JIT_CACHE",
-                                  _os.path.expanduser("~/.cache/xevd_tpu_jit")))
+                  _os.environ.get("XEVD_TPU_JIT_CACHE", _cache_dir()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from .. import tables as T
@@ -220,6 +235,49 @@ def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad):
     return pic_y, None, None
 
 
+def run_frame_device(payload, icu, dbst, waves, refs, st):
+    """Device half of one-frame decode: ITDQ -> MC -> recon -> intra scan
+    -> deblock -> padded picture planes.  Pure jax on traced args; `st` is
+    the static metadata dict from JaxPixelBackend.pack_frame.  Callable
+    standalone, under jit, or under vmap (GOP batch axis)."""
+    shp_y, shp_c = st["shp_y"], st["shp_c"]
+    bd, chroma, iqt = st["bd"], st["chroma"], st["iqt"]
+    resids = _itdq_all(payload, st["sig_q"], shp_y, shp_c, bd, iqt)
+    if st["has_inter"]:
+        preds = _mc_all(payload, refs, st["sig_m"], shp_y, shp_c, bd,
+                        st["main_taps"])
+    else:
+        z32 = jnp.zeros(shp_y, jnp.int32)
+        z8 = jnp.zeros(shp_y, jnp.int8)
+        if chroma:
+            zc32 = jnp.zeros(shp_c, jnp.int32)
+            zc8 = jnp.zeros(shp_c, jnp.int8)
+            preds = (z32, z8, zc32, zc32, zc8)
+        else:
+            preds = (z32, z8, None, None, None)
+
+    recs = _recon_all(resids, preds, bd, chroma)
+    if icu is not None:
+        rtuple = (resids[0], resids[1] if chroma else resids[0],
+                  resids[2] if chroma else resids[0])
+        if st["eipd"]:
+            cu = {"x": icu[:, 0], "y": icu[:, 1], "log2w": icu[:, 2],
+                  "log2h": icu[:, 3], "ipm": icu[:, 4],
+                  "ipm_c": icu[:, 5], "up_mask": icu[:, 6],
+                  "left_mask": icu[:, 7], "right_mask": icu[:, 8],
+                  "corner": icu[:, 9], "lr": icu[:, 10],
+                  "tree": icu[:, 11], "valid": icu[:, 12]}
+            recs = JIM.intra_scan_main(recs, rtuple, cu, bd, chroma)
+        else:
+            cu = {"x": icu[:, 0], "y": icu[:, 1], "log2": icu[:, 2],
+                  "ipm": icu[:, 3], "up_mask": icu[:, 4],
+                  "left_mask": icu[:, 5], "corner": icu[:, 6],
+                  "valid": icu[:, 7]}
+            recs = JI.intra_scan(recs, rtuple, cu, bd, chroma)
+    return _deblock_finish(recs, dbst, waves, st["geom"], bd, chroma,
+                           st["deblock_on"], T.PIC_PAD_SIZE_L)
+
+
 class JaxPixelBackend:
     """Bit-exact JAX/XLA implementation of the Baseline pixel pipeline."""
 
@@ -263,7 +321,11 @@ class JaxPixelBackend:
                 "unsupported — rect CUs need the EIPD kernel")
 
     # ------------------------------------------------------------------
-    def decode_frame(self, job, sps, refp):
+    def pack_frame(self, job, sps, refp):
+        """Host half of decode_frame: build the flat device payload + all
+        static metadata for one frame.  Returns a dict consumed by
+        run_frame_device (directly by decode_frame; stacked over a GOP
+        batch by parallel/gop.decode_gops_sharded)."""
         fs = job.fs
         bd = sps.bit_depth_luma_minus8 + 8
         cfi = sps.chroma_format_idc
@@ -286,12 +348,12 @@ class JaxPixelBackend:
                   else self._pack_intra(None, fs, job))
         deblock_on = bool(fs.sh.deblocking_filter_on)
         if deblock_on:
-            dbst = jnp.asarray(np.stack([job.db_ver_y, job.db_hor_y,
-                                         job.db_ver_u, job.db_hor_u,
-                                         job.db_ver_v, job.db_hor_v]))
+            dbst_np = np.stack([job.db_ver_y, job.db_hor_y,
+                                job.db_ver_u, job.db_hor_u,
+                                job.db_ver_v, job.db_hor_v])
         else:
-            dbst = None
-        waves = None
+            dbst_np = None
+        waves_np = None
         if deblock_on and suco and chroma:
             waves_np = _chroma_ver_waves(fs, job)
             if waves_np is not None:
@@ -300,50 +362,29 @@ class JaxPixelBackend:
                     pad_w = np.full((nw - waves_np.shape[0],) +
                                     waves_np.shape[1:], 1 << 20, np.int32)
                     waves_np = np.concatenate([waves_np, pad_w])
-                waves = jnp.asarray(waves_np)
         payload_np, sig = pk.finish()
-        payload = jnp.asarray(payload_np)
-        sig_q = tuple(e for e in sig if e[0].startswith("q"))
-        sig_m = tuple(e for e in sig if e[0].startswith("m"))
+        return {
+            "payload": payload_np, "icu": icu_np,
+            "dbst": dbst_np, "waves": waves_np, "refs": refs,
+            "slots": list(getattr(self, "_last_slots", [])),
+            "static": dict(
+                sig_q=tuple(e for e in sig if e[0].startswith("q")),
+                sig_m=tuple(e for e in sig if e[0].startswith("m")),
+                shp_y=shp_y, shp_c=shp_c, bd=bd, chroma=chroma, iqt=iqt,
+                eipd=eipd, has_inter=has_inter, deblock_on=deblock_on,
+                main_taps=bool(is_main and sps.tool_admvp),
+                geom=(fs.h, fs.w, fs.h_scu, fs.w_scu)),
+        }
 
-        resids = _itdq_all(payload, sig_q, shp_y, shp_c, bd, iqt)
-        if has_inter:
-            main_taps = bool(is_main and sps.tool_admvp)
-            preds = _mc_all(payload, refs, sig_m, shp_y, shp_c, bd,
-                            main_taps)
-        else:
-            z32 = jnp.zeros(shp_y, jnp.int32)
-            z8 = jnp.zeros(shp_y, jnp.int8)
-            if chroma:
-                zc32 = jnp.zeros(shp_c, jnp.int32)
-                zc8 = jnp.zeros(shp_c, jnp.int8)
-                preds = (z32, z8, zc32, zc32, zc8)
-            else:
-                preds = (z32, z8, None, None, None)
-
-        recs = _recon_all(resids, preds, bd, chroma)
-        if icu_np is not None:
-            icu = jnp.asarray(icu_np)
-            rtuple = (resids[0], resids[1] if chroma else resids[0],
-                      resids[2] if chroma else resids[0])
-            if eipd:
-                cu = {"x": icu[:, 0], "y": icu[:, 1], "log2w": icu[:, 2],
-                      "log2h": icu[:, 3], "ipm": icu[:, 4],
-                      "ipm_c": icu[:, 5], "up_mask": icu[:, 6],
-                      "left_mask": icu[:, 7], "right_mask": icu[:, 8],
-                      "corner": icu[:, 9], "lr": icu[:, 10],
-                      "tree": icu[:, 11], "valid": icu[:, 12]}
-                recs = JIM.intra_scan_main(recs, rtuple, cu, bd, chroma)
-            else:
-                cu = {"x": icu[:, 0], "y": icu[:, 1], "log2": icu[:, 2],
-                      "ipm": icu[:, 3], "up_mask": icu[:, 4],
-                      "left_mask": icu[:, 5], "corner": icu[:, 6],
-                      "valid": icu[:, 7]}
-                recs = JI.intra_scan(recs, rtuple, cu, bd, chroma)
-        geom = (fs.h, fs.w, fs.h_scu, fs.w_scu)
-        planes = _deblock_finish(recs, dbst, waves, geom, bd, chroma,
-                                 deblock_on, T.PIC_PAD_SIZE_L)
-        return planes
+    # ------------------------------------------------------------------
+    def decode_frame(self, job, sps, refp):
+        pack = self.pack_frame(job, sps, refp)
+        payload = jnp.asarray(pack["payload"])
+        icu = None if pack["icu"] is None else jnp.asarray(pack["icu"])
+        dbst = None if pack["dbst"] is None else jnp.asarray(pack["dbst"])
+        waves = None if pack["waves"] is None else jnp.asarray(pack["waves"])
+        return run_frame_device(payload, icu, dbst, waves, pack["refs"],
+                                pack["static"])
 
     # ------------------------------------------------------------------
     def make_picture_planes(self, rec_planes, fs, sps):
@@ -450,7 +491,7 @@ class JaxPixelBackend:
             if key not in out:
                 out[key] = np.zeros((0, 3 + (1 << key[0]) * (1 << key[1])),
                                     np.int32)
-        for (lw, lh, comp, trs), arr_n in out.items():
+        for (lw, lh, comp, trs), arr_n in sorted(out.items()):
             name = f"q_{lw}_{lh}_{comp}_{trs}"
             N = len(arr_n)
             Np = self._rows(name, max(N, 1))
@@ -467,7 +508,8 @@ class JaxPixelBackend:
         inter = fs.cu_pred_mode != T.MODE_INTRA
         idx = np.nonzero(inter)[0]
         if len(idx) == 0:
-            for key in self._sched_keys("m"):
+            self._last_slots = []
+            for key in sorted(self._sched_keys("m")):
                 self._emit_mc_bucket(pk, key, np.zeros((0, 5), np.int32))
             return (None, None, None), False
 
@@ -515,10 +557,12 @@ class JaxPixelBackend:
         ref_map = {}
         planes_y, planes_u, planes_v = [], [], []
         slot_tbl = np.zeros((2, max(max_ref, 1)), np.int32)
+        self._last_slots = []          # (lidx, r, ref_poc) per device slot
         for (lidx, r) in sorted(used):
             pic = refp[r][lidx].pic
             ref_map[(lidx, r)] = len(planes_y)
             slot_tbl[lidx, r] = len(planes_y)
+            self._last_slots.append((lidx, r, int(refp[r][lidx].poc)))
             planes_y.append(pic.y)
             if chroma:
                 planes_u.append(pic.u)
@@ -563,7 +607,7 @@ class JaxPixelBackend:
         for key in self._sched_keys("m"):
             if key not in out:
                 out[key] = np.zeros((0, 5), np.int32)
-        for key, arr_n in out.items():
+        for key, arr_n in sorted(out.items()):
             self._emit_mc_bucket(pk, key, arr_n)
 
         if planes_y:
