@@ -52,6 +52,17 @@ def fixtures_dir():
     return FIXDIR
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """XLA:CPU's in-process compiler aborts/segfaults after enough distinct
+    compilations accumulate in one process (observed at the tail of the
+    golden suite).  Dropping the executable cache between tests keeps the
+    compiler's working set bounded; shapes shared across tests recompile,
+    which is noise next to the decode time."""
+    yield
+    jax.clear_caches()
+
+
 def make_stream(path, w, h, n, qp, seed, gop, density=0.5, profile=0,
                 tools=None):
     """Generate (cached) a test stream via tools/evc_enc."""

@@ -31,7 +31,10 @@ def check_decoder_caps(sps):
     unsup = []
     if getattr(sps, "is_main", False):
         for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
-                           ("tool_dmvr", "dmvr")):
+                           ("tool_dmvr", "dmvr"), ("tool_alf", "alf"),
+                           ("tool_addb", "addb"), ("tool_htdf", "htdf"),
+                           ("tool_dra", "dra"), ("tool_pocs", "pocs"),
+                           ("tool_rpl", "rpl")):
             if getattr(sps, flag, 0):
                 unsup.append(name)
     if unsup:

@@ -404,36 +404,53 @@ def _deblock_strengths(job: FrameJob, fs: FrameSyntax, sps, sh, chroma_qp_tbl):
         st_v = T.DF_ST[idx, qp_tab_v[qp_v + qp_off]] << bd_c
         return st_y, st_u, st_v
 
-    # horizontal edges (top edge of CU): pair (cur=(y,x), up=(y-1,x))
-    hy = np.zeros((h_scu, w_scu), np.int32)
-    hu = np.zeros_like(hy)
-    hv = np.zeros_like(hy)
-    ys, xs = np.nonzero(fs.edge_hor)
-    sel = ys > 0
-    ys, xs = ys[sel], xs[sel]
-    if len(ys):
-        idx = table_idx((ys, xs), (ys - 1, xs))
-        qp = fs.map_qp[ys, xs]
-        st_y, st_u, st_v = strengths(idx, qp)
-        hy[ys, xs] = st_y
-        hu[ys, xs] = st_u
-        hv[ys, xs] = st_v
+    # Chroma edges gate on the chroma-carrying unit map (differs from the
+    # luma map inside local-dual-tree areas; TREE_L leaf edges deblock luma
+    # only — ref: src_main/xevdm.c deblock_tree dispatch).  Baseline/native
+    # paths have no dual tree and leave the chroma maps unset.
+    edge_hor_c = fs.edge_hor_c if fs.edge_hor_c is not None else fs.edge_hor
+    edge_ver_c = fs.edge_ver_c if fs.edge_ver_c is not None else fs.edge_ver
 
+    def edge_pass(edge, edge_c, nb_of):
+        """One direction: luma strengths at `edge` cells, chroma at
+        `edge_c` cells (same cells unless local dual tree made them
+        differ — then a second chroma-only pass runs)."""
+        sy = np.zeros((h_scu, w_scu), np.int32)
+        su = np.zeros_like(sy)
+        sv = np.zeros_like(sy)
+        same = edge_c is edge or np.array_equal(edge_c, edge)
+        ys, xs = np.nonzero(edge)
+        sel = nb_of(ys, xs)
+        ys, xs = ys[sel[0]], xs[sel[0]]
+        if len(ys):
+            idx = table_idx((ys, xs), sel[1](ys, xs))
+            qp = fs.map_qp[ys, xs]
+            st_y, st_u, st_v = strengths(idx, qp)
+            sy[ys, xs] = st_y
+            if same:
+                su[ys, xs] = st_u
+                sv[ys, xs] = st_v
+        if not same:
+            ys, xs = np.nonzero(edge_c)
+            sel = nb_of(ys, xs)
+            ys, xs = ys[sel[0]], xs[sel[0]]
+            if len(ys):
+                idx = table_idx((ys, xs), sel[1](ys, xs))
+                qp = fs.map_qp[ys, xs]
+                _, st_u, st_v = strengths(idx, qp)
+                su[ys, xs] = st_u
+                sv[ys, xs] = st_v
+        return sy, su, sv
+
+    # horizontal edges (top edge of CU): pair (cur=(y,x), up=(y-1,x))
+    hy, hu, hv = edge_pass(
+        fs.edge_hor, edge_hor_c,
+        lambda ys, xs: (ys > 0, lambda ys, xs: (ys - 1, xs)))
     # vertical edges (left edge of CU): pair (cur=(y,x), left=(y,x-1));
     # parameters come from the right-side block in both driver branches
-    vy = np.zeros((h_scu, w_scu), np.int32)
-    vu = np.zeros_like(vy)
-    vv = np.zeros_like(vy)
-    ys, xs = np.nonzero(fs.edge_ver)
-    sel = xs > 0
-    ys, xs = ys[sel], xs[sel]
-    if len(ys):
-        idx = table_idx((ys, xs), (ys, xs - 1))
-        qp = fs.map_qp[ys, xs]
-        st_y, st_u, st_v = strengths(idx, qp)
-        vy[ys, xs] = st_y
-        vu[ys, xs] = st_u
-        vv[ys, xs] = st_v
+    vy, vu, vv = edge_pass(
+        fs.edge_ver, edge_ver_c,
+        lambda ys, xs: (xs > 0, lambda ys, xs: (ys, xs - 1)))
 
     job.db_hor_y, job.db_hor_u, job.db_hor_v = hy, hu, hv
     job.db_ver_y, job.db_ver_u, job.db_ver_v = vy, vu, vv

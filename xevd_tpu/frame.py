@@ -69,6 +69,10 @@ class FrameSyntax:
     # CU-edge maps for deblocking (set at CU top/left boundaries)
     edge_hor: np.ndarray = None   # u8: SCU's TOP edge is a CU boundary
     edge_ver: np.ndarray = None   # u8: SCU's LEFT edge is a CU boundary
+    # chroma variants: edges of chroma-carrying units only (tree != TREE_L);
+    # differ from the luma maps inside local-dual-tree areas
+    edge_hor_c: np.ndarray = None
+    edge_ver_c: np.ndarray = None
     # intra neighbor availability flags per CU (AVAIL_* bits), entropy-time LR
     cu_avail: list = field(default_factory=list)
 
@@ -460,6 +464,8 @@ class EntropyDecoder:
         fs.map_skip = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.edge_hor = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.edge_ver = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.edge_hor_c = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.edge_ver_c = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         self.cod_eco = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         # coded-CU geometry per SCU (split-flag ctx, ref map_cu_mode LOGW/H)
         self.map_logw = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
@@ -880,6 +886,16 @@ class EntropyDecoder:
         fs.cu_mmvd_idx.append(mmvd_idx)
         fs.cu_ats.append(getattr(self, "_last_ats", (0, 0, 0)))
         fs.cu_avail.append(0)
+
+        # Chroma CU-boundary edge maps: edges of units that carry chroma
+        # (tree != TREE_L).  Dual-tree areas deblock luma at TREE_L leaf
+        # edges but chroma only at the enclosing TREE_C unit's edges
+        # (ref: src_main/xevdm.c deblock_tree TREE_L/TREE_C dispatch), so
+        # the full-plane JAX chroma passes need a gating map separate from
+        # the luma one.
+        if tree_type != TREE_L:
+            fs.edge_hor_c[y_scu, x_scu:x_scu + scuw] = 1
+            fs.edge_ver_c[y_scu:y_scu + scuh, x_scu] = 1
 
         if tree_type == TREE_C:
             return  # chroma-only unit: luma maps stay untouched

@@ -24,27 +24,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: kernels compile once per shape class, ever.
-# The dir is keyed by the host CPU feature set — XLA:CPU AOT artifacts are
-# machine-specific, and loading one compiled on a different host segfaults.
-import hashlib as _hashlib
+# Persistent compilation cache: kernels compile once per shape class, ever.
+# TPU-only: XLA:CPU AOT artifacts are machine/feature-set-specific and
+# deserializing a stale one can SEGFAULT the process (observed in round 3
+# even with a /proc/cpuinfo-keyed dir), so the CPU backend always compiles
+# fresh.  The TPU dir is keyed by the jaxlib version.
 import os as _os
-import platform as _platform
 
 
-def _cache_dir():
+def _maybe_enable_jit_cache():
     try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        key = _hashlib.md5(flags.encode()).hexdigest()[:10]
-    except OSError:
-        key = _platform.machine()
-    return _os.path.expanduser(f"~/.cache/xevd_tpu_jit_{key}")
+        plats = {d.platform for d in jax.devices()}
+    except Exception:
+        return
+    if plats == {"cpu"}:
+        return
+    import jaxlib
+    ver = getattr(jaxlib, "__version__", "unk")
+    d = _os.environ.get(
+        "XEVD_TPU_JIT_CACHE",
+        _os.path.expanduser(f"~/.cache/xevd_tpu_jit_tpu_{ver}"))
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-jax.config.update("jax_compilation_cache_dir",
-                  _os.environ.get("XEVD_TPU_JIT_CACHE", _cache_dir()))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+_maybe_enable_jit_cache()
 
 from .. import tables as T
 from ..syntax import UnsupportedStream
@@ -235,6 +239,21 @@ def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad):
     return pic_y, None, None
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _frame_step(st_items, payload, icu, dbst, waves, refs_y, refs_u, refs_v):
+    """ONE jitted dispatch per frame (the serial decode path).
+
+    Everything fuses into a single XLA program: the reference-plane stack,
+    all pipeline stages, deblock, pad-expand.  Critical for latency when the
+    device is remote (eager per-frame ops each cost a host<->device round
+    trip; round 3 spent 99% of the frame time there)."""
+    st = dict(st_items)
+    refs = (jnp.stack(refs_y) if refs_y else None,
+            jnp.stack(refs_u) if refs_u else None,
+            jnp.stack(refs_v) if refs_v else None)
+    return run_frame_device(payload, icu, dbst, waves, refs, st)
+
+
 def run_frame_device(payload, icu, dbst, waves, refs, st):
     """Device half of one-frame decode: ITDQ -> MC -> recon -> intra scan
     -> deblock -> padded picture planes.  Pure jax on traced args; `st` is
@@ -379,12 +398,10 @@ class JaxPixelBackend:
     # ------------------------------------------------------------------
     def decode_frame(self, job, sps, refp):
         pack = self.pack_frame(job, sps, refp)
-        payload = jnp.asarray(pack["payload"])
-        icu = None if pack["icu"] is None else jnp.asarray(pack["icu"])
-        dbst = None if pack["dbst"] is None else jnp.asarray(pack["dbst"])
-        waves = None if pack["waves"] is None else jnp.asarray(pack["waves"])
-        return run_frame_device(payload, icu, dbst, waves, pack["refs"],
-                                pack["static"])
+        ry, ru, rv = pack["refs"]
+        st_items = tuple(sorted(pack["static"].items()))
+        return _frame_step(st_items, pack["payload"], pack["icu"],
+                           pack["dbst"], pack["waves"], ry, ru, rv)
 
     # ------------------------------------------------------------------
     def make_picture_planes(self, rec_planes, fs, sps):
@@ -511,7 +528,7 @@ class JaxPixelBackend:
             self._last_slots = []
             for key in sorted(self._sched_keys("m")):
                 self._emit_mc_bucket(pk, key, np.zeros((0, 5), np.int32))
-            return (None, None, None), False
+            return ((), (), ()), False
 
         x = fs.cu_x[idx]
         y = fs.cu_y[idx]
@@ -611,11 +628,13 @@ class JaxPixelBackend:
             self._emit_mc_bucket(pk, key, arr_n)
 
         if planes_y:
-            refs = (jnp.stack(planes_y),
-                    jnp.stack(planes_u) if chroma else None,
-                    jnp.stack(planes_v) if chroma else None)
+            # tuples of per-slot planes; stacked INSIDE the jitted frame
+            # step so no eager device op runs per frame
+            refs = (tuple(planes_y),
+                    tuple(planes_u) if chroma else (),
+                    tuple(planes_v) if chroma else ())
             return refs, True
-        return (None, None, None), False
+        return ((), (), ()), False
 
     def _emit_mc_bucket(self, pk, key, arr_n):
         pl, w, h, case = key
