@@ -53,6 +53,15 @@ CASES = [
     ("m_all_ra", 176, 144, 5, 31, 119, "RA",
      ("iqt", "ats", "admvp", "hmvp", "mmvd", "amvr", "btt", "suco", "adcc",
       "cm_init", "eipd")),
+    ("m_addb_i", 176, 144, 2, 30, 501, "I", ("addb", "eipd", "cm_init")),
+    ("m_addb_p", 176, 144, 4, 31, 502, "IPPP",
+     ("addb", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m_addb_ra", 176, 144, 5, 30, 503, "RA",
+     ("addb", "eipd", "cm_init", "admvp", "hmvp", "mmvd", "amvr", "btt",
+      "suco", "adcc")),
+    ("m_addb_ats", 176, 144, 3, 32, 504, "IPPP",
+     ("addb", "eipd", "cm_init", "iqt", "ats", "btt", "suco", "admvp",
+      "hmvp")),
 ]
 
 

@@ -32,7 +32,7 @@ def check_decoder_caps(sps):
     if getattr(sps, "is_main", False):
         for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
                            ("tool_dmvr", "dmvr"), ("tool_alf", "alf"),
-                           ("tool_addb", "addb"), ("tool_htdf", "htdf"),
+                           ("tool_htdf", "htdf"),
                            ("tool_dra", "dra"), ("tool_pocs", "pocs"),
                            ("tool_rpl", "rpl")):
             if getattr(sps, flag, 0):
@@ -306,8 +306,12 @@ class NumpyPixelBackend:
                 rec_u[yc:yc + hc, xc:xc + wc] = RN.recon(pu, r[1], bool(cbf[1]), bd)
                 rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(pv, r[2], bool(cbf[2]), bd)
 
-        # 4) deblocking
-        RN.deblock_frame((rec_y, rec_u, rec_v), job, sps)
+        # 4) deblocking (ADDB when tool_addb, else the base filter)
+        if job.addb_luma is not None:
+            from .ops.ref_numpy_addb import deblock_frame_addb
+            deblock_frame_addb((rec_y, rec_u, rec_v), job, sps)
+        else:
+            RN.deblock_frame((rec_y, rec_u, rec_v), job, sps)
         return rec_y, rec_u, rec_v
 
 

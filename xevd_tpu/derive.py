@@ -49,6 +49,10 @@ class FrameJob:
     db_ver_y: np.ndarray = None
     db_ver_u: np.ndarray = None
     db_ver_v: np.ndarray = None
+    # ADDB parameter maps (Main, tool_addb): dir 0 = ver edges, 1 = hor
+    addb_luma: np.ndarray = None    # int32 [2, h_scu, w_scu, 4] bs,a,b,c1
+    addb_chroma: np.ndarray = None  # int32 [2, h_scu, w_scu, 7]
+    #                                  bs, a_u, b_u, c0_u, a_v, b_v, c0_v
 
 
 def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
@@ -273,8 +277,11 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     job.cu_avail_lr = avail_lr
 
     if sh.deblocking_filter_on:
-        _deblock_strengths(job, fs, sps, sh, chroma_qp_tbl)
-    else:
+        if is_main_sps and sps.tool_addb:
+            _addb_params(job, fs, sps, sh, chroma_qp_tbl, refp, log2_ctu)
+        else:
+            _deblock_strengths(job, fs, sps, sh, chroma_qp_tbl)
+    if job.db_hor_y is None:
         z = np.zeros((h_scu, w_scu), dtype=np.int32)
         job.db_hor_y = job.db_hor_u = job.db_hor_v = z
         job.db_ver_y = job.db_ver_u = job.db_ver_v = z
@@ -454,3 +461,148 @@ def _deblock_strengths(job: FrameJob, fs: FrameSyntax, sps, sh, chroma_qp_tbl):
 
     job.db_hor_y, job.db_hor_u, job.db_hor_v = hy, hu, hv
     job.db_ver_y, job.db_ver_u, job.db_ver_v = vy, vu, vv
+
+
+def _addb_params(job: FrameJob, fs: FrameSyntax, sps, sh, chroma_qp_tbl,
+                 refp, log2_ctu):
+    """Vectorized ADDB boundary-strength + threshold derivation
+    (ref: src_main/xevdm_df.c:361-513 get_bs, :835-1135 drivers).
+
+    Emits per-SCU-cell parameter maps for the 8x8-grid-aligned CU-boundary
+    edges; dir 0 = vertical (left) edges, dir 1 = horizontal (top) edges.
+    A cell with bs == 0 is not filtered, so the maps double as the edge
+    gating.  Luma edges gate on the luma CU-edge maps, chroma on the
+    chroma-carrying-unit maps (local dual tree)."""
+    h_scu, w_scu = fs.h_scu, fs.w_scu
+    bd_l = sps.bit_depth_luma_minus8 + 8
+    bd_c = sps.bit_depth_chroma_minus8 + 8
+    map_if = fs.map_if.astype(bool)
+    cbfl = fs.map_cbfl.astype(bool)
+    map_ats = fs.map_ats.astype(bool)
+    refi = job.map_refi.astype(np.int32)
+    mv = job.map_mv.astype(np.int32)
+    alpha_off = sh.sh_deblock_alpha_offset & 0xFF  # u8 arg in ref get_index
+    beta_off = sh.sh_deblock_beta_offset & 0xFF
+
+    # picture-identity table per (lidx, refi): get_bs compares the actual
+    # reference PICTURES (ref :422-426), not indices
+    max_ref = max(int(refi.max()) + 1, 1)
+    pid = np.full((2, max_ref), -1, np.int64)
+    ids = {}
+    for lidx in range(2):
+        for r in range(max_ref):
+            try:
+                pic = refp[r][lidx].pic
+            except (IndexError, AttributeError):
+                continue
+            if pic is None:
+                continue
+            pid[lidx, r] = ids.setdefault(id(pic), len(ids))
+
+    def get_bs(cur, nb, cross_lcu):
+        if_any = map_if[cur] | map_if[nb]
+        ats_any = map_ats[cur] | map_ats[nb]
+        cbf_any = cbfl[cur] | cbfl[nb]
+        r0 = refi[cur]                      # [M, 2]
+        r1 = refi[nb]
+        v0 = r0 >= 0
+        v1 = r1 >= 0
+        p0 = np.stack([
+            np.where(v0[:, 0], pid[0][np.maximum(r0[:, 0], 0)], -1),
+            np.where(v0[:, 1], pid[1][np.maximum(r0[:, 1], 0)], -1)], 1)
+        p1 = np.stack([
+            np.where(v1[:, 0], pid[0][np.maximum(r1[:, 0], 0)], -1),
+            np.where(v1[:, 1], pid[1][np.maximum(r1[:, 1], 0)], -1)], 1)
+        m0 = mv[cur].copy()                 # [M, 2, 2]
+        m1 = mv[nb].copy()
+        m0[~v0] = 0
+        m1[~v1] = 0
+
+        def cmp(a, b):                      # |d| < 4 both components
+            return (np.abs(a[:, 0] - b[:, 0]) < 4) & \
+                   (np.abs(a[:, 1] - b[:, 1]) < 4)
+
+        same_direct = (p0[:, 0] == p1[:, 0]) & (p0[:, 1] == p1[:, 1])
+        same_cross = (p0[:, 0] == p1[:, 1]) & (p0[:, 1] == p1[:, 0])
+        both0_same = p0[:, 0] == p0[:, 1]
+        all4 = (cmp(m0[:, 0], m1[:, 0]) & cmp(m0[:, 1], m1[:, 1])
+                & cmp(m0[:, 0], m1[:, 1]) & cmp(m0[:, 1], m1[:, 0]))
+        direct2 = cmp(m0[:, 0], m1[:, 0]) & cmp(m0[:, 1], m1[:, 1])
+        cross2 = cmp(m0[:, 0], m1[:, 1]) & cmp(m0[:, 1], m1[:, 0])
+        OTH, DIF = T.ADDB_BS_OTHERS, T.ADDB_BS_DIFF_REFS
+        bs_mv = np.where(both0_same,
+                         np.where(all4, OTH, DIF),
+                         np.where(same_direct,
+                                  np.where(direct2, OTH, DIF),
+                                  np.where(cross2, OTH, DIF)))
+        bs_inter = np.where(same_direct | same_cross, bs_mv, DIF)
+        bs = np.where(
+            if_any & cross_lcu, T.ADDB_BS_INTRA_STRONG,
+            np.where(if_any, T.ADDB_BS_INTRA,
+                     np.where(cbf_any | ats_any, T.ADDB_BS_CODED,
+                              bs_inter)))
+        return bs.astype(np.int32)
+
+    qp_off = 6 * (bd_c - 8)
+    qp_tab_u = chroma_qp_tbl[0]
+    qp_tab_v = chroma_qp_tbl[1]
+    sh_l = max(0, bd_l - 9)
+    sh_c = max(0, bd_c - 9)
+    bds = bd_l - 8                          # bitdepth_scale (luma-based)
+
+    luma = np.zeros((2, h_scu, w_scu, 4), np.int32)
+    chroma = np.zeros((2, h_scu, w_scu, 7), np.int32)
+    edge_hor_c = fs.edge_hor_c if fs.edge_hor_c is not None else fs.edge_hor
+    edge_ver_c = fs.edge_ver_c if fs.edge_ver_c is not None else fs.edge_ver
+
+    for d, (edge_l, edge_c) in enumerate(
+            ((fs.edge_ver, edge_ver_c), (fs.edge_hor, edge_hor_c))):
+        both = (edge_l.astype(bool) | edge_c.astype(bool))
+        ys, xs = np.nonzero(both)
+        if d == 0:                          # vertical edge: 8-px x grid
+            sel = (xs % 2 == 0) & (xs > 0)
+            ys, xs = ys[sel], xs[sel]
+            nb = (ys, xs - 1)
+            cross = ((xs * 4) >> log2_ctu) != (((xs - 1) * 4) >> log2_ctu)
+        else:                               # horizontal edge: 8-px y grid
+            sel = (ys % 2 == 0) & (ys > 0)
+            ys, xs = ys[sel], xs[sel]
+            nb = (ys - 1, xs)
+            cross = ((ys * 4) >> log2_ctu) != (((ys - 1) * 4) >> log2_ctu)
+        if len(ys) == 0:
+            continue
+        cur = (ys, xs)
+        bs = get_bs(cur, nb, cross)
+        qp = (fs.map_qp[cur] + fs.map_qp[nb] + 1) >> 1
+        is_l = edge_l.astype(bool)[cur]
+        is_c = edge_c.astype(bool)[cur]
+
+        idxA = np.clip(qp + alpha_off, 0, 51)
+        idxB = np.clip(qp + beta_off, 0, 51)
+        luma[d, ys[is_l], xs[is_l], 0] = bs[is_l]
+        luma[d, ys[is_l], xs[is_l], 1] = (T.ADDB_ALPHA[idxA] << bds)[is_l]
+        luma[d, ys[is_l], xs[is_l], 2] = (T.ADDB_BETA[idxB] << bds)[is_l]
+        luma[d, ys[is_l], xs[is_l], 3] = \
+            (T.ADDB_CLIP[idxA, bs] << sh_l)[is_l]
+
+        if sps.chroma_format_idc:
+            qp_u = np.clip(qp + sh.qp_u_offset, -qp_off, 57)
+            qp_v = np.clip(qp + sh.qp_v_offset, -qp_off, 57)
+            cu_ = qp_tab_u[qp_u + qp_off]
+            cv_ = qp_tab_v[qp_v + qp_off]
+            iAu = np.clip(cu_ + alpha_off, 0, 51)
+            iBu = np.clip(cu_ + beta_off, 0, 51)
+            iAv = np.clip(cv_ + alpha_off, 0, 51)
+            iBv = np.clip(cv_ + beta_off, 0, 51)
+            c0u = (T.ADDB_CLIP[iAu, bs] + 1) << sh_c
+            c0v = (T.ADDB_CLIP[iAv, bs] + 1) << sh_c
+            chroma[d, ys[is_c], xs[is_c], 0] = bs[is_c]
+            chroma[d, ys[is_c], xs[is_c], 1] = (T.ADDB_ALPHA[iAu] << bds)[is_c]
+            chroma[d, ys[is_c], xs[is_c], 2] = (T.ADDB_BETA[iBu] << bds)[is_c]
+            chroma[d, ys[is_c], xs[is_c], 3] = c0u[is_c]
+            chroma[d, ys[is_c], xs[is_c], 4] = (T.ADDB_ALPHA[iAv] << bds)[is_c]
+            chroma[d, ys[is_c], xs[is_c], 5] = (T.ADDB_BETA[iBv] << bds)[is_c]
+            chroma[d, ys[is_c], xs[is_c], 6] = c0v[is_c]
+
+    job.addb_luma = luma
+    job.addb_chroma = chroma

@@ -66,6 +66,7 @@ class FrameSyntax:
     map_cbfl: np.ndarray = None
     map_ipm: np.ndarray = None
     map_skip: np.ndarray = None
+    map_ats: np.ndarray = None    # u8: ATS-inter info per SCU (ADDB BS input)
     # CU-edge maps for deblocking (set at CU top/left boundaries)
     edge_hor: np.ndarray = None   # u8: SCU's TOP edge is a CU boundary
     edge_ver: np.ndarray = None   # u8: SCU's LEFT edge is a CU boundary
@@ -462,6 +463,7 @@ class EntropyDecoder:
         fs.map_cbfl = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.map_ipm = np.full((self.h_scu, self.w_scu), -1, dtype=np.int8)
         fs.map_skip = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
+        fs.map_ats = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.edge_hor = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.edge_ver = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
         fs.edge_hor_c = np.zeros((self.h_scu, self.w_scu), dtype=np.uint8)
@@ -906,6 +908,7 @@ class EntropyDecoder:
         fs.map_if[ys, xs] = is_intra
         fs.map_qp[ys, xs] = qp
         ats_inter = getattr(self, "_last_ats", (0, 0, 0))[2]
+        fs.map_ats[ys, xs] = ats_inter
         if ats_inter:
             # cbf marked over the coded sub-TU only
             # (ref: src_main/xevdm_util.c xevdm_set_cu_cbf_flags)

@@ -26,7 +26,8 @@ CU_FIELDS = 29
 def _build():
     src = _REPO / "native" / "evc_entropy.c"
     subprocess.run(
-        ["cc", "-O2", "-shared", "-fPIC", "-o", str(_SO), str(src)],
+        ["cc", "-O3", "-march=native", "-shared", "-fPIC",
+         "-o", str(_SO), str(src)],
         check=True)
 
 
@@ -52,6 +53,46 @@ def available() -> bool:
     return get_lib() is not None
 
 
+_SCRATCH = {}
+
+
+def _scratch(w, h):
+    """Per-resolution reusable entropy-output buffers.  Every field the C
+    engine writes is fully rewritten per frame (decode_cu/derive_cu cover
+    the whole picture), so only the sparse-write buffers (coef planes,
+    edge maps) are re-zeroed here.  Arrays that outlive the frame
+    (map_mv/map_refi into the DPB, the cu record slice) are copied or
+    freshly allocated by the caller."""
+    key = (w, h)
+    s = _SCRATCH.get(key)
+    w_lcu, h_lcu = (w + 63) // 64, (h + 63) // 64
+    w_pad, h_pad = w_lcu * 64, h_lcu * 64
+    w_scu, h_scu = (w + 3) >> 2, (h + 3) >> 2
+    if s is None:
+        s = {
+            "coef_y": np.zeros((h_pad, w_pad), np.int16),
+            "coef_u": np.zeros((h_pad >> 1, w_pad >> 1), np.int16),
+            "coef_v": np.zeros((h_pad >> 1, w_pad >> 1), np.int16),
+            "cu_out": np.zeros((w_scu * h_scu, CU_FIELDS), np.int32),
+            "map_if": np.zeros((h_scu, w_scu), np.uint8),
+            "map_qp": np.zeros((h_scu, w_scu), np.int32),
+            "map_cbfl": np.zeros((h_scu, w_scu), np.uint8),
+            "map_ipm": np.full((h_scu, w_scu), -1, np.int8),
+            "map_skip": np.zeros((h_scu, w_scu), np.uint8),
+            "edge_hor": np.zeros((h_scu, w_scu), np.uint8),
+            "edge_ver": np.zeros((h_scu, w_scu), np.uint8),
+            "cod_eco": np.zeros((h_scu, w_scu), np.uint8),
+        }
+        _SCRATCH[key] = s
+    else:
+        s["coef_y"][:] = 0
+        s["coef_u"][:] = 0
+        s["coef_v"][:] = 0
+        s["edge_hor"][:] = 0
+        s["edge_ver"][:] = 0
+    return s, w_pad, h_pad, w_scu, h_scu
+
+
 def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
                         chroma_qp_tbl, refp=None, poc=0):
     """Native equivalent of frame.EntropyDecoder.decode_slice PLUS the
@@ -62,25 +103,14 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     lib = get_lib()
     w = sps.pic_width_in_luma_samples
     h = sps.pic_height_in_luma_samples
-    w_lcu = (w + 63) // 64
-    h_lcu = (h + 63) // 64
-    w_pad, h_pad = w_lcu * 64, h_lcu * 64
-    w_scu, h_scu = (w + 3) >> 2, (h + 3) >> 2
     cfi = sps.chroma_format_idc
-
-    coef_y = np.zeros((h_pad, w_pad), np.int16)
-    coef_u = np.zeros((h_pad >> 1, w_pad >> 1), np.int16)
-    coef_v = np.zeros_like(coef_u)
-    max_cus = w_scu * h_scu
-    cu_out = np.zeros((max_cus, CU_FIELDS), np.int32)
-    map_if = np.zeros((h_scu, w_scu), np.uint8)
-    map_qp = np.zeros((h_scu, w_scu), np.int32)
-    map_cbfl = np.zeros((h_scu, w_scu), np.uint8)
-    map_ipm = np.full((h_scu, w_scu), -1, np.int8)
-    map_skip = np.zeros((h_scu, w_scu), np.uint8)
-    edge_hor = np.zeros((h_scu, w_scu), np.uint8)
-    edge_ver = np.zeros((h_scu, w_scu), np.uint8)
-    cod_eco = np.zeros((h_scu, w_scu), np.uint8)
+    s, w_pad, h_pad, w_scu, h_scu = _scratch(w, h)
+    coef_y, coef_u, coef_v = s["coef_y"], s["coef_u"], s["coef_v"]
+    cu_out = s["cu_out"]
+    map_if, map_qp = s["map_if"], s["map_qp"]
+    map_cbfl, map_ipm = s["map_cbfl"], s["map_ipm"]
+    map_skip, cod_eco = s["map_skip"], s["cod_eco"]
+    edge_hor, edge_ver = s["edge_hor"], s["edge_ver"]
 
     tbl_u = np.ascontiguousarray(chroma_qp_tbl[0], np.int32)
     tbl_v = np.ascontiguousarray(chroma_qp_tbl[1], np.int32)
@@ -129,7 +159,9 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     fs.coef_y = coef_y
     fs.coef_u = coef_u if cfi else None
     fs.coef_v = coef_v if cfi else None
-    cu = cu_out[:n]
+    # copy: cu_out is reused scratch, but fs may outlive the frame
+    # (e.g. parallel/gop capture keeps it)
+    cu = cu_out[:n].copy()
     fs.cu_x = cu[:, 0]
     fs.cu_y = cu[:, 1]
     fs.cu_log2w = cu[:, 2]

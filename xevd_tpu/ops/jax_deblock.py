@@ -186,3 +186,72 @@ def chroma_hor_pass(plane, st_cols, bit_depth):
     _, (Bs, Cs) = jax.lax.scan(step, p2[0, 0, :], (B_all, C_all, D_all, st_all))
     p2 = p2.at[:-1, 1, :].set(Bs).at[1:, 0, :].set(Cs)
     return p2.reshape(H, W).astype(plane.dtype)
+
+
+# ---------------------------------------------------------------------------
+# ADDB (Main profile, tool_addb) — all edges on the 8x8 luma grid, filters
+# touch <=3 px a side, so every pass is ONE fully vectorized tensor op (no
+# scans).  Parameter maps come from derive._addb_params
+# (ref: src_main/xevdm_df.c:835-1135).
+# ---------------------------------------------------------------------------
+from . import addb_common as _AC
+
+
+def addb_luma_ver(plane, pars, bit_depth):
+    """plane [H, W] (W % 8 == 0); pars [H//4, W//4, 4] per-SCU
+    (bs, alpha, beta, c1); edge left of each 8-col block."""
+    H, W = plane.shape
+    nb = W // 8
+    p8 = plane.reshape(H, nb, 8).astype(jnp.int32)
+    p = tuple(p8[:, :-1, 7 - k] for k in range(4))
+    q = tuple(p8[:, 1:, k] for k in range(4))
+    sel = jnp.repeat(pars[:, ::2], 4, axis=0)[:, 1:]     # [H, nb-1, 4]
+    (p0, p1, p2), (q0, q1, q2) = _AC.luma_line(
+        jnp, p, q, sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3],
+        bit_depth)
+    p8 = p8.at[:, :-1, 7].set(p0).at[:, :-1, 6].set(p1).at[:, :-1, 5].set(p2)
+    p8 = p8.at[:, 1:, 0].set(q0).at[:, 1:, 1].set(q1).at[:, 1:, 2].set(q2)
+    return p8.reshape(H, W).astype(plane.dtype)
+
+
+def addb_luma_hor(plane, pars, bit_depth):
+    H, W = plane.shape
+    nb = H // 8
+    p8 = plane.reshape(nb, 8, W).astype(jnp.int32)
+    p = tuple(p8[:-1, 7 - k, :] for k in range(4))
+    q = tuple(p8[1:, k, :] for k in range(4))
+    sel = jnp.repeat(pars[::2], 4, axis=1)[1:]           # [nb-1, W, 4]
+    (p0, p1, p2), (q0, q1, q2) = _AC.luma_line(
+        jnp, p, q, sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3],
+        bit_depth)
+    p8 = p8.at[:-1, 7, :].set(p0).at[:-1, 6, :].set(p1).at[:-1, 5, :].set(p2)
+    p8 = p8.at[1:, 0, :].set(q0).at[1:, 1, :].set(q1).at[1:, 2, :].set(q2)
+    return p8.reshape(H, W).astype(plane.dtype)
+
+
+def addb_chroma_ver(plane, pars, bit_depth):
+    """4:2:0 chroma: plane [Hc, Wc] (Wc % 4 == 0); pars [Hc//2, Wc//2, 4]
+    per-SCU (bs, alpha, beta, c0)."""
+    H, W = plane.shape
+    nb = W // 4
+    p4 = plane.reshape(H, nb, 4).astype(jnp.int32)
+    p = (p4[:, :-1, 3], p4[:, :-1, 2])
+    q = (p4[:, 1:, 0], p4[:, 1:, 1])
+    sel = jnp.repeat(pars[:, ::2], 2, axis=0)[:, 1:]
+    p0, q0 = _AC.chroma_line(jnp, p, q, sel[..., 0], sel[..., 1],
+                             sel[..., 2], sel[..., 3], bit_depth)
+    p4 = p4.at[:, :-1, 3].set(p0).at[:, 1:, 0].set(q0)
+    return p4.reshape(H, W).astype(plane.dtype)
+
+
+def addb_chroma_hor(plane, pars, bit_depth):
+    H, W = plane.shape
+    nb = H // 4
+    p4 = plane.reshape(nb, 4, W).astype(jnp.int32)
+    p = (p4[:-1, 3, :], p4[:-1, 2, :])
+    q = (p4[1:, 0, :], p4[1:, 1, :])
+    sel = jnp.repeat(pars[::2], 2, axis=1)[1:]
+    p0, q0 = _AC.chroma_line(jnp, p, q, sel[..., 0], sel[..., 1],
+                             sel[..., 2], sel[..., 3], bit_depth)
+    p4 = p4.at[:-1, 3, :].set(p0).at[1:, 0, :].set(q0)
+    return p4.reshape(H, W).astype(plane.dtype)

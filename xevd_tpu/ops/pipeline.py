@@ -85,9 +85,13 @@ class _Packer:
         self.sig.append((name, self.off, arr.shape))
         self.off += arr.size
 
-    def finish(self):
-        payload = (np.concatenate(self.chunks) if self.chunks
-                   else np.zeros(1, np.int32))
+    def finish(self, out_buf=None):
+        if not self.chunks:
+            return np.zeros(1, np.int32), tuple(self.sig)
+        if out_buf is not None and out_buf.size >= self.off:
+            payload = np.concatenate(self.chunks, out=out_buf[:self.off])
+        else:
+            payload = np.concatenate(self.chunks)
         return payload, tuple(self.sig)
 
 
@@ -205,6 +209,41 @@ def _recon_all(resids, preds, bd, chroma):
     return rec_y, rec_u, rec_v
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _deblock_finish_addb(recs, pars, geom, bd, chroma, pad):
+    """ADDB deblock + pad-expand.  pars = (luma [2, hs, ws, 4],
+    chroma [2, hs, ws, 7]) per-SCU parameter maps (host-padded so the
+    covered area is a multiple of 8 px); dir 0 = ver pass, 1 = hor pass.
+    Every ADDB pass is a single vectorized op (8-px edge grid, <=3 px
+    reach — no cascades)."""
+    h, w, h_scu, w_scu = geom
+    luma_pars, chroma_pars = pars
+    rec_y, rec_u, rec_v = recs
+    H8 = luma_pars.shape[1] * 4
+    W8 = luma_pars.shape[2] * 4
+    y_area = jax.lax.dynamic_slice(rec_y, (BORDER, BORDER), (H8, W8))
+    y_area = JD.addb_luma_ver(y_area, luma_pars[0], bd)
+    if chroma:
+        u_area = jax.lax.dynamic_slice(rec_u, (BORDER, BORDER),
+                                       (H8 >> 1, W8 >> 1))
+        v_area = jax.lax.dynamic_slice(rec_v, (BORDER, BORDER),
+                                       (H8 >> 1, W8 >> 1))
+        u_sel = chroma_pars[..., jnp.array([0, 1, 2, 3])]
+        v_sel = chroma_pars[..., jnp.array([0, 4, 5, 6])]
+        u_area = JD.addb_chroma_ver(u_area, u_sel[0], bd)
+        v_area = JD.addb_chroma_ver(v_area, v_sel[0], bd)
+    y_area = JD.addb_luma_hor(y_area, luma_pars[1], bd)
+    if chroma:
+        u_area = JD.addb_chroma_hor(u_area, u_sel[1], bd)
+        v_area = JD.addb_chroma_hor(v_area, v_sel[1], bd)
+    pic_y = jnp.pad(y_area[:h, :w], pad, mode="edge")
+    if chroma:
+        pic_u = jnp.pad(u_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
+        pic_v = jnp.pad(v_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
+        return pic_y, pic_u, pic_v
+    return pic_y, None, None
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad):
     """geom = (h, w, h_scu, w_scu).  st [6, h_scu, w_scu] or None.
@@ -293,6 +332,9 @@ def run_frame_device(payload, icu, dbst, waves, refs, st):
                   "left_mask": icu[:, 5], "corner": icu[:, 6],
                   "valid": icu[:, 7]}
             recs = JI.intra_scan(recs, rtuple, cu, bd, chroma)
+    if st.get("addb"):
+        return _deblock_finish_addb(recs, dbst, st["geom"], bd, chroma,
+                                    T.PIC_PAD_SIZE_L)
     return _deblock_finish(recs, dbst, waves, st["geom"], bd, chroma,
                            st["deblock_on"], T.PIC_PAD_SIZE_L)
 
@@ -307,6 +349,29 @@ class JaxPixelBackend:
         # sticky per-bucket row counts: shapes only grow, so jit signatures
         # stabilize after the first few frames of a sequence
         self._sched = {}
+        # Host-buffer reuse: bucket arrays and the flat payload are reused
+        # across frames to avoid cold-allocation page faults (~25ms/frame
+        # at 1080p).  Only when the device is NOT the host CPU — jax's CPU
+        # backend may alias numpy buffers zero-copy, and mutating them next
+        # frame would corrupt in-flight computations.  XEVD_TPU_REUSE=1
+        # forces it on (used by a CPU test to exercise this path).
+        import os
+        self._reuse = (os.environ.get("XEVD_TPU_REUSE") == "1"
+                       or jax.default_backend() not in ("cpu",))
+        self._bufs = {}
+        self._payload_bufs = [None, None]   # double buffer: frame n vs n+1
+        self._payload_flip = 0
+
+    def _frame_buf(self, name, shape):
+        """Per-bucket scratch array; reused across frames when safe (its
+        contents are copied into the payload on the host each frame)."""
+        if not self._reuse:
+            return np.zeros(shape, np.int32)
+        buf = self._bufs.get(name)
+        if buf is None or buf.shape != shape:
+            buf = np.zeros(shape, np.int32)
+            self._bufs[name] = buf
+        return buf
 
     def _sched_keys(self, prefix):
         for name in self._sched:
@@ -366,14 +431,26 @@ class JaxPixelBackend:
         icu_np = (self._pack_intra_main(fs, job) if eipd
                   else self._pack_intra(None, fs, job))
         deblock_on = bool(fs.sh.deblocking_filter_on)
-        if deblock_on:
+        addb = bool(deblock_on and job.addb_luma is not None)
+        if addb:
+            # pad the per-SCU parameter maps so the covered pixel area is
+            # a multiple of 8 (the ADDB edge grid); padded cells have
+            # bs == 0 and filter nothing
+            hs2 = (fs.h_scu + 1) & ~1
+            ws2 = (fs.w_scu + 1) & ~1
+            luma = np.zeros((2, hs2, ws2, 4), np.int32)
+            luma[:, :fs.h_scu, :fs.w_scu] = job.addb_luma
+            chroma_p = np.zeros((2, hs2, ws2, 7), np.int32)
+            chroma_p[:, :fs.h_scu, :fs.w_scu] = job.addb_chroma
+            dbst_np = (luma, chroma_p)
+        elif deblock_on:
             dbst_np = np.stack([job.db_ver_y, job.db_hor_y,
                                 job.db_ver_u, job.db_hor_u,
                                 job.db_ver_v, job.db_hor_v])
         else:
             dbst_np = None
         waves_np = None
-        if deblock_on and suco and chroma:
+        if deblock_on and suco and chroma and not addb:
             waves_np = _chroma_ver_waves(fs, job)
             if waves_np is not None:
                 nw = self._rows("dbw", waves_np.shape[0])
@@ -381,7 +458,16 @@ class JaxPixelBackend:
                     pad_w = np.full((nw - waves_np.shape[0],) +
                                     waves_np.shape[1:], 1 << 20, np.int32)
                     waves_np = np.concatenate([waves_np, pad_w])
-        payload_np, sig = pk.finish()
+        if self._reuse:
+            # double-buffered so frame n+1's pack never rewrites host
+            # memory a still-in-flight transfer of frame n might read
+            self._payload_flip ^= 1
+            buf = self._payload_bufs[self._payload_flip]
+            payload_np, sig = pk.finish(buf)
+            if buf is None or payload_np.size > buf.size:
+                self._payload_bufs[self._payload_flip] = payload_np
+        else:
+            payload_np, sig = pk.finish()
         return {
             "payload": payload_np, "icu": icu_np,
             "dbst": dbst_np, "waves": waves_np, "refs": refs,
@@ -391,6 +477,7 @@ class JaxPixelBackend:
                 sig_m=tuple(e for e in sig if e[0].startswith("m")),
                 shp_y=shp_y, shp_c=shp_c, bd=bd, chroma=chroma, iqt=iqt,
                 eipd=eipd, has_inter=has_inter, deblock_on=deblock_on,
+                addb=addb,
                 main_taps=bool(is_main and sps.tool_admvp),
                 geom=(fs.h, fs.w, fs.h_scu, fs.w_scu)),
         }
@@ -513,7 +600,7 @@ class JaxPixelBackend:
             N = len(arr_n)
             Np = self._rows(name, max(N, 1))
             width = 3 + (1 << lw) * (1 << lh)
-            arr = np.zeros((Np, width), np.int32)
+            arr = self._frame_buf(name, (Np, width))
             arr[:N] = arr_n
             arr[N:, 1:3] = 1 << 20          # OOB positions -> dropped
             pk.add(name, arr)
@@ -641,7 +728,7 @@ class JaxPixelBackend:
         name = f"m_{pl}_{w}_{h}_{case}"
         N = len(arr_n)
         Np = self._rows(name, max(N, 64))
-        arr = np.zeros((Np, 5), np.int32)
+        arr = self._frame_buf(name, (Np, 5))
         arr[:N] = arr_n
         arr[N:, 3:5] = 1 << 20
         pk.add(name, arr)

@@ -528,3 +528,42 @@ def check_ats_inter_avail(cuw: int, cuh: int, pred_mode: int,
     mode_hori_quad = 1 if cuh >= 16 else 0
     return (mode_vert | (mode_hori << 1) | (mode_vert_quad << 2)
             | (mode_hori_quad << 3))
+
+
+# ---------------------------------------------------------------------------
+# ADDB (advanced deblocking) threshold tables
+# (ref: src_main/xevdm_tbl.c:377-388, src_main/xevdm_df.c:331-347)
+# ---------------------------------------------------------------------------
+ADDB_BS_INTRA_STRONG = 4
+ADDB_BS_INTRA = 3
+ADDB_BS_CODED = 2
+ADDB_BS_DIFF_REFS = 1
+ADDB_BS_OTHERS = 0
+
+ADDB_ALPHA = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4, 4, 5, 6,
+    7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36, 40, 45,
+    50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203, 226,
+    255, 255], dtype=np.int32)
+
+ADDB_BETA = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 2, 2, 3,
+    3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
+    11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
+    dtype=np.int32)
+
+ADDB_CLIP = np.array([
+    [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0], [0, 0, 0, 1, 1], [0, 0, 0, 1, 1], [0, 0, 0, 1, 1],
+    [0, 0, 0, 1, 1], [0, 0, 1, 1, 1], [0, 0, 1, 1, 1], [0, 1, 1, 1, 1],
+    [0, 1, 1, 1, 1], [0, 1, 1, 1, 1], [0, 1, 1, 1, 1], [0, 1, 1, 2, 2],
+    [0, 1, 1, 2, 2], [0, 1, 1, 2, 2], [0, 1, 1, 2, 2], [0, 1, 2, 3, 3],
+    [0, 1, 2, 3, 3], [0, 2, 2, 3, 3], [0, 2, 2, 4, 4], [0, 2, 3, 4, 4],
+    [0, 2, 3, 4, 4], [0, 3, 3, 5, 5], [0, 3, 4, 6, 6], [0, 3, 4, 6, 6],
+    [0, 4, 5, 7, 7], [0, 4, 5, 8, 8], [0, 4, 6, 9, 9], [0, 5, 7, 10, 10],
+    [0, 6, 8, 11, 11], [0, 6, 8, 13, 13], [0, 7, 10, 14, 14],
+    [0, 8, 11, 16, 16], [0, 9, 12, 18, 18], [0, 10, 13, 20, 20],
+    [0, 11, 15, 23, 23], [0, 13, 17, 25, 25]], dtype=np.int32)
