@@ -62,6 +62,12 @@ CASES = [
     ("m_addb_ats", 176, 144, 3, 32, 504, "IPPP",
      ("addb", "eipd", "cm_init", "iqt", "ats", "btt", "suco", "admvp",
       "hmvp")),
+    ("m_htdf_i", 176, 144, 2, 30, 601, "I", ("htdf", "eipd", "cm_init")),
+    ("m_htdf_p", 176, 144, 4, 27, 602, "IPPP",
+     ("htdf", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m_htdf_all", 176, 144, 5, 29, 603, "RA",
+     ("htdf", "addb", "eipd", "cm_init", "iqt", "ats", "btt", "suco",
+      "admvp", "hmvp", "mmvd", "amvr", "adcc")),
 ]
 
 

@@ -32,7 +32,6 @@ def check_decoder_caps(sps):
     if getattr(sps, "is_main", False):
         for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
                            ("tool_dmvr", "dmvr"), ("tool_alf", "alf"),
-                           ("tool_htdf", "htdf"),
                            ("tool_dra", "dra"), ("tool_pocs", "pocs"),
                            ("tool_rpl", "rpl")):
             if getattr(sps, flag, 0):
@@ -246,12 +245,22 @@ class NumpyPixelBackend:
                 rec_v[yc:yc + (cuh >> ch_s), xc:xc + (cuw >> cw_s)] = \
                     RN.recon(pv, r[2], bool(cbf[2]), bd)
 
-        # 3) intra CUs in decode order (sequential neighbor dependency)
+        # 3) decode-order pass: intra CUs (sequential neighbor dependency)
+        #    and HTDF (filtered pixels feed later intra predictions,
+        #    ref: src_main/xevdm.c:1383-1390)
         eipd = bool(getattr(sps, "is_main", False) and sps.tool_eipd)
+        htdf_on = job.cu_htdf_idx is not None and (job.cu_htdf_idx >= 0).any()
+        if htdf_on:
+            from .ops.htdf import htdf_block
         if eipd:
             from .ops import ref_numpy_main as RM
         for i in range(n):
             if fs.cu_pred_mode[i] != T.MODE_INTRA:
+                if htdf_on and job.cu_htdf_idx[i] >= 0:
+                    htdf_block(rec_y, fs.cu_x[i], fs.cu_y[i],
+                               1 << fs.cu_log2w[i], 1 << fs.cu_log2h[i],
+                               int(job.cu_htdf_avail[i]),
+                               int(job.cu_htdf_idx[i]), bd)
                 continue
             x, y = fs.cu_x[i], fs.cu_y[i]
             cuw = 1 << fs.cu_log2w[i]
@@ -287,6 +296,10 @@ class NumpyPixelBackend:
                         pu, r[1], bool(cbf[1]), bd)
                     rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(
                         pv, r[2], bool(cbf[2]), bd)
+                if htdf_on and job.cu_htdf_idx[i] >= 0:
+                    htdf_block(rec_y, x, y, cuw, cuh,
+                               int(job.cu_htdf_avail[i]),
+                               int(job.cu_htdf_idx[i]), bd)
                 continue
             if tree != 2:  # TREE_C units carry no luma
                 left, up, corner = RN.build_nbr(rec_y, x, y, cuw, cuh, up_m,
@@ -305,6 +318,10 @@ class NumpyPixelBackend:
                 pv = RN.ipred_b(left, up, corner, ipm, wc, hc)
                 rec_u[yc:yc + hc, xc:xc + wc] = RN.recon(pu, r[1], bool(cbf[1]), bd)
                 rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(pv, r[2], bool(cbf[2]), bd)
+            if htdf_on and job.cu_htdf_idx[i] >= 0:
+                htdf_block(rec_y, x, y, cuw, cuh,
+                           int(job.cu_htdf_avail[i]),
+                           int(job.cu_htdf_idx[i]), bd)
 
         # 4) deblocking (ADDB when tool_addb, else the base filter)
         if job.addb_luma is not None:

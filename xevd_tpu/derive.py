@@ -53,6 +53,10 @@ class FrameJob:
     addb_luma: np.ndarray = None    # int32 [2, h_scu, w_scu, 4] bs,a,b,c1
     addb_chroma: np.ndarray = None  # int32 [2, h_scu, w_scu, 7]
     #                                  bs, a_u, b_u, c0_u, a_v, b_v, c0_v
+    # HTDF (Main, tool_htdf), per CU: LUT row (-1 = skip) + recon-time
+    # availability bits (ops/htdf.py HT_*)
+    cu_htdf_idx: np.ndarray = None  # int32 [N]
+    cu_htdf_avail: np.ndarray = None  # int32 [N]
 
 
 def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
@@ -83,6 +87,15 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     nbr_right = np.zeros(n, dtype=np.int64)
     avail_lr = np.zeros(n, dtype=np.uint8)
     is_main = getattr(sps, "is_main", False)
+    htdf_on = bool(is_main and sps.tool_htdf)
+    if htdf_on:
+        from .ops import htdf as HT
+        if pps.constrained_intra_pred_flag:
+            from .syntax import UnsupportedStream
+            raise UnsupportedStream(
+                "HTDF with constrained intra prediction unsupported")
+    cu_htdf_idx = np.full(n, -1, dtype=np.int32)
+    cu_htdf_avail = np.zeros(n, dtype=np.int32)
 
     map_if = fs.map_if
     constrained = pps.constrained_intra_pred_flag
@@ -263,8 +276,37 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
             map_refi[ys_, xs_, 1] = refi[1]
             map_mv[ys_, xs_] = mv.astype(np.int16)
 
+        if htdf_on and fs.cu_tree[i] != 2 and (
+                pm == T.MODE_INTRA or fs.cu_cbf[i][0]):
+            # HTDF skip condition + LUT row (slice qp) and recon-time
+            # availability (ref: src_main/xevdm.c:1383-1390,
+            # src_base/xevd_util.c:689-745)
+            idx = T.htdf_skip_and_idx(cuw, cuh, pm == T.MODE_INTRA, sh.qp)
+            if idx >= 0:
+                cu_htdf_idx[i] = idx
+                av = 0
+                if x_scu > 0 and cod[y_scu, x_scu - 1]:
+                    av |= HT.HT_LE
+                    if y_scu + scuh + scuw - 1 < h_scu and \
+                            cod[y_scu + scuw + scuh - 1, x_scu - 1]:
+                        av |= HT.HT_LO_LE
+                if y_scu > 0:
+                    av |= HT.HT_UP
+                    if x_scu > 0 and cod[y_scu - 1, x_scu - 1]:
+                        av |= HT.HT_UP_LE
+                    if x_scu + scuw < w_scu and cod[y_scu - 1, x_scu + scuw]:
+                        av |= HT.HT_UP_RI
+                if x_scu + scuw < w_scu and cod[y_scu, x_scu + scuw]:
+                    av |= HT.HT_RI
+                    if y_scu + scuh + scuw - 1 < h_scu and \
+                            cod[y_scu + scuw + scuh - 1, x_scu + scuw]:
+                        av |= HT.HT_LO_RI
+                cu_htdf_avail[i] = av
+
         cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
 
+    job.cu_htdf_idx = cu_htdf_idx
+    job.cu_htdf_avail = cu_htdf_avail
     job.cu_mv = cu_mv
     job.cu_refi = cu_refi
     job.map_mv = map_mv

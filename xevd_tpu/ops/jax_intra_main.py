@@ -37,6 +37,92 @@ _WC = jnp.asarray([0, 341, 205, 114, 60, 31], jnp.int32)
 
 LR_00, LR_10, LR_01, LR_11 = 0, 1, 2, 3
 
+_HTDF_TBL = jnp.asarray(T.HTDF_TBL, dtype=jnp.int32)          # [5, 16]
+_HTDF_THR_LOG2 = jnp.asarray(T.HTDF_THR_LOG2, dtype=jnp.int32)
+
+
+def _htdf_read_table(z, tbl_row, thr, shift, rnd):
+    """(ref: src_main/xevdm_recon.c:173-187)"""
+    v = jnp.abs(z)
+    idx = ((v + rnd) & thr) >> shift
+    w0 = jnp.where(v < thr, tbl_row[idx], v)
+    return jnp.where(z < 0, -w0, w0)
+
+
+def _step_htdf(rec, x, y, lw, lh, avail, tbl_idx, enabled, bd):
+    """Apply HTDF to one luma CU inside the scan
+    (ref: src_main/xevdm_recon.c:196-385).  The 1-px ring comes from the
+    carried picture plane gated by recon-time availability bits
+    (ops/htdf.py HT_*); unavailable sides replicate the block edge.  All
+    2x2 hadamard windows are computed batched on a fixed 66x66 tile."""
+    S2 = 66
+    maxv = (1 << bd) - 1
+    w = 1 << lw
+    h = 1 << lh
+    e0 = jax.lax.dynamic_slice(
+        rec, (BORDER + y - 1, BORDER + x - 1), (S2, S2)).astype(jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 1)
+    LE = (avail & 1) > 0
+    RI = (avail & 2) > 0
+    UP = (avail & 4) > 0
+    UP_LE = (avail & 8) > 0
+    UP_RI = (avail & 16) > 0
+    LO_LE = (avail & 32) > 0
+    LO_RI = (avail & 64) > 0
+    rr_idx = jnp.where(rr == 0, jnp.where(UP, 0, 1), jnp.minimum(rr, h))
+    cc_idx = jnp.where(cc == 0, jnp.where(LE, 0, 1),
+                       jnp.where(cc == w + 1, jnp.where(RI, w + 1, w),
+                                 jnp.minimum(cc, w)))
+    val = e0[rr_idx, cc_idx]
+    c00 = jnp.where(UP_LE, e0[0, 0], e0[1, 1])
+    c01 = jnp.where(UP_RI, e0[0, w + 1], e0[1, w])
+    c10 = jnp.where(LO_LE, e0[h + 1, 0], e0[h, 1])
+    c11 = jnp.where(LO_RI, e0[h + 1, w + 1], e0[h, w])
+    val = jnp.where((rr == 0) & (cc == 0), c00, val)
+    val = jnp.where((rr == 0) & (cc == w + 1), c01, val)
+    val = jnp.where((rr == h + 1) & (cc == 0), c10, val)
+    val = jnp.where((rr == h + 1) & (cc == w + 1), c11, val)
+
+    x0 = val[:-1, :-1]
+    x1 = val[:-1, 1:]
+    x2 = val[1:, :-1]
+    x3 = val[1:, 1:]
+    y0 = x0 + x2
+    y1 = x1 + x3
+    y2 = x0 - x2
+    y3 = x1 - x3
+    t0 = y0 + y1
+    t1 = y0 - y1
+    t2 = y2 + y3
+    t3 = y2 - y3
+    ti = jnp.clip(tbl_idx, 0, 4)
+    thr_log2 = _HTDF_THR_LOG2[ti]
+    shift = thr_log2 - 4
+    rnd = (1 << shift) >> 1
+    thr = (1 << thr_log2) - (1 << shift)
+    tbl_row = _HTDF_TBL[ti]
+    z1 = _htdf_read_table(t1, tbl_row, thr, shift, rnd)
+    z2 = _htdf_read_table(t2, tbl_row, thr, shift, rnd)
+    z3 = _htdf_read_table(t3, tbl_row, thr, shift, rnd)
+    iy0 = t0 + z2
+    iy1 = z1 + z3
+    iy2 = t0 - z2
+    iy3 = z1 - z3
+    acc = jnp.zeros((S2, S2), jnp.int32)
+    acc = acc.at[:-1, :-1].add((iy0 + iy1) >> 2)
+    acc = acc.at[:-1, 1:].add((iy0 - iy1) >> 2)
+    acc = acc.at[1:, :-1].add((iy2 + iy3) >> 2)
+    acc = acc.at[1:, 1:].add((iy2 - iy3) >> 2)
+    out = jnp.clip((acc + 2) >> 2, 0, maxv)
+    blk = out[1:65, 1:65].astype(rec.dtype)
+    old = jax.lax.dynamic_slice(rec, (BORDER + y, BORDER + x), (64, 64))
+    ii = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0)
+    m = (ii < w) & (jj < h) & (enabled == 1)
+    new = jnp.where(m, blk, old)
+    return jax.lax.dynamic_update_slice(rec, new, (BORDER + y, BORDER + x))
+
 
 def _fill_dir(raw, mask, lg_unit, seed, n):
     """Forward per-unit availability fill (ref: src_main/xevdm_ipred.c
@@ -300,15 +386,20 @@ def intra_scan_main(planes, resids, cu, bit_depth, chroma):
     rec_y, rec_u, rec_v = planes
     res_y, res_u, res_v = resids
 
+    has_htdf = "htdf_idx" in cu
+
     def step(carry, c):
         ry, ru, rv = carry
         x, y, lw, lh = c["x"], c["y"], c["log2w"], c["log2h"]
-        do_l = jnp.where((c["tree"] != 2) & (c["valid"] == 1), 1, 0)
+        intra = c.get("do_intra", c["valid"])
+        do_l = jnp.where((c["tree"] != 2) & (c["valid"] == 1)
+                         & (intra == 1), 1, 0)
         ry = _step_plane_main(ry, res_y, x, y, lw, lh, c["ipm"],
                               c["up_mask"], c["left_mask"], c["right_mask"],
                               c["corner"], c["lr"], do_l, 2, 64, bit_depth)
         if chroma:
-            do_c = jnp.where((c["tree"] != 1) & (c["valid"] == 1), 1, 0)
+            do_c = jnp.where((c["tree"] != 1) & (c["valid"] == 1)
+                             & (intra == 1), 1, 0)
             # chroma mode mapping (ref: src_main/xevdm_ipred.c:267-305)
             ipm, ipm_c = c["ipm"], c["ipm_c"]
             dm_map = jnp.where(
@@ -337,6 +428,10 @@ def intra_scan_main(planes, resids, cu, bit_depth, chroma):
                                   c["up_mask"], c["left_mask"],
                                   c["right_mask"], c["corner"], c["lr"],
                                   do_c, 1, 32, bit_depth)
+        if has_htdf:
+            do_h = jnp.where((c["valid"] == 1) & (c["htdf_idx"] >= 0), 1, 0)
+            ry = _step_htdf(ry, x, y, lw, lh, c["htdf_avail"],
+                            c["htdf_idx"], do_h, bit_depth)
         return (ry, ru, rv), 0
 
     (rec_y, rec_u, rec_v), _ = jax.lax.scan(step, (rec_y, rec_u, rec_v), cu)

@@ -325,6 +325,10 @@ def run_frame_device(payload, icu, dbst, waves, refs, st):
                   "left_mask": icu[:, 7], "right_mask": icu[:, 8],
                   "corner": icu[:, 9], "lr": icu[:, 10],
                   "tree": icu[:, 11], "valid": icu[:, 12]}
+            if icu.shape[1] > 13:       # HTDF columns present
+                cu["do_intra"] = icu[:, 13]
+                cu["htdf_idx"] = icu[:, 14]
+                cu["htdf_avail"] = icu[:, 15]
             recs = JIM.intra_scan_main(recs, rtuple, cu, bd, chroma)
         else:
             cu = {"x": icu[:, 0], "y": icu[:, 1], "log2": icu[:, 2],
@@ -403,6 +407,11 @@ class JaxPixelBackend:
             raise UnsupportedStream(
                 "JAX backend: BTT with baseline intra (eipd off) "
                 "unsupported — rect CUs need the EIPD kernel")
+        if getattr(sps, "is_main", False) and sps.tool_htdf \
+                and not sps.tool_eipd:
+            raise UnsupportedStream(
+                "JAX backend: HTDF requires the EIPD scan path "
+                "(tool_eipd on); use the numpy backend")
 
     # ------------------------------------------------------------------
     def pack_frame(self, job, sps, refp):
@@ -759,13 +768,21 @@ class JaxPixelBackend:
     # ------------------------------------------------------------------
     def _pack_intra_main(self, fs, job):
         """Per-CU tensor rows for the EIPD intra scan
-        (ops/jax_intra_main.intra_scan_main)."""
-        idx = np.nonzero(fs.cu_pred_mode == T.MODE_INTRA)[0]
+        (ops/jax_intra_main.intra_scan_main).  When the frame has HTDF
+        work, the scan list also carries the HTDF-qualifying inter CUs
+        (decode order preserved) and three extra columns
+        (do_intra, htdf_idx, htdf_avail)."""
+        intra = fs.cu_pred_mode == T.MODE_INTRA
+        htdf_any = (job.cu_htdf_idx is not None
+                    and (job.cu_htdf_idx >= 0).any())
+        sel = intra | (job.cu_htdf_idx >= 0) if htdf_any else intra
+        idx = np.nonzero(sel)[0]
         if len(idx) == 0:
             return None
         N = len(idx)
-        Np = self._rows("icum", max(N, 64))
-        arr = np.zeros((Np, 13), np.int32)
+        ncol = 16 if htdf_any else 13
+        Np = self._rows("icum" if ncol == 13 else "icumh", max(N, 64))
+        arr = np.zeros((Np, ncol), np.int32)
         arr[:, 2] = 2
         arr[:, 3] = 2
         if (fs.cu_log2w[idx] > 6).any() or (fs.cu_log2h[idx] > 6).any():
@@ -775,14 +792,20 @@ class JaxPixelBackend:
         def u32(v):
             return (v & 0xFFFFFFFF).astype(np.uint32).astype(np.int32)
 
-        arr[:N] = np.stack(
-            [fs.cu_x[idx], fs.cu_y[idx], fs.cu_log2w[idx], fs.cu_log2h[idx],
-             fs.cu_ipm[idx], fs.cu_ipm_c[idx],
-             u32(job.cu_nbr_up[idx]), u32(job.cu_nbr_left[idx]),
-             u32(job.cu_nbr_right[idx]),
-             job.cu_nbr_corner[idx].astype(np.int32),
-             job.cu_avail_lr[idx].astype(np.int32),
-             fs.cu_tree[idx], np.ones(N, np.int32)], 1)
+        cols = [fs.cu_x[idx], fs.cu_y[idx], fs.cu_log2w[idx],
+                fs.cu_log2h[idx],
+                fs.cu_ipm[idx], fs.cu_ipm_c[idx],
+                u32(job.cu_nbr_up[idx]), u32(job.cu_nbr_left[idx]),
+                u32(job.cu_nbr_right[idx]),
+                job.cu_nbr_corner[idx].astype(np.int32),
+                job.cu_avail_lr[idx].astype(np.int32),
+                fs.cu_tree[idx], np.ones(N, np.int32)]
+        if htdf_any:
+            cols += [intra[idx].astype(np.int32),
+                     job.cu_htdf_idx[idx], job.cu_htdf_avail[idx]]
+        arr[:N] = np.stack(cols, 1)
+        if htdf_any:
+            arr[N:, 14] = -1            # padded rows: no htdf
         return arr
 
 

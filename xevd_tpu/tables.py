@@ -567,3 +567,31 @@ ADDB_CLIP = np.array([
     [0, 6, 8, 11, 11], [0, 6, 8, 13, 13], [0, 7, 10, 14, 14],
     [0, 8, 11, 16, 16], [0, 9, 12, 18, 18], [0, 10, 13, 20, 20],
     [0, 11, 15, 23, 23], [0, 13, 17, 25, 25]], dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# HTDF (hadamard-domain in-loop filter) LUTs
+# (ref: src_main/xevdm_recon.c:153-171)
+# ---------------------------------------------------------------------------
+HTDF_TBL = np.array([
+    [0, 0, 2, 6, 10, 14, 19, 23, 28, 32, 36, 41, 45, 49, 53, 57],
+    [0, 0, 5, 12, 20, 29, 38, 47, 56, 65, 73, 82, 90, 98, 107, 115],
+    [0, 0, 1, 4, 9, 16, 24, 32, 41, 50, 59, 68, 77, 86, 94, 103],
+    [0, 0, 3, 9, 19, 32, 47, 64, 81, 99, 117, 135, 154, 179, 205, 230],
+    [0, 0, 0, 2, 6, 11, 18, 27, 38, 51, 64, 96, 128, 160, 192, 224],
+], dtype=np.int32)
+HTDF_THR_LOG2 = np.array([6, 7, 7, 8, 8], dtype=np.int32)
+
+
+def htdf_skip_and_idx(w: int, h: int, intra: bool, qp: int):
+    """Skip condition + LUT index (ref: src_main/xevdm_recon.c:274-305).
+    Returns -1 to skip, else the LUT row index."""
+    if qp <= 17 or w * h < 64 or max(w, h) >= 128:
+        return -1
+    if not intra:
+        if min(w, h) >= 32:
+            return -1
+    elif w == h and min(w, h) >= 32:
+        qp -= 8
+    idx = (qp - 20 + 4) >> 3
+    return min(max(idx, 0), 4)
