@@ -64,7 +64,7 @@ def _clear_jax_caches():
 
 
 def make_stream(path, w, h, n, qp, seed, gop, density=0.5, profile=0,
-                tools=None):
+                tools=None, bd=8):
     """Generate (cached) a test stream via tools/evc_enc."""
     if path.exists():
         return path
@@ -72,7 +72,7 @@ def make_stream(path, w, h, n, qp, seed, gop, density=0.5, profile=0,
     import evc_enc
     t = evc_enc.Tools(**{k: 1 for k in (tools or [])})
     data = evc_enc.encode_stream(w, h, n, qp, seed, gop, density,
-                                 profile=profile, tools=t)
+                                 profile=profile, tools=t, bd=bd)
     path.write_bytes(data)
     return path
 

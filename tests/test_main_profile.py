@@ -68,6 +68,28 @@ CASES = [
     ("m_htdf_all", 176, 144, 5, 29, 603, "RA",
      ("htdf", "addb", "eipd", "cm_init", "iqt", "ats", "btt", "suco",
       "admvp", "hmvp", "mmvd", "amvr", "adcc")),
+    ("m_alf_i", 176, 144, 3, 30, 711, "I", ("alf", "eipd", "cm_init")),
+    ("m_alf_p", 176, 144, 4, 30, 702, "IPPP",
+     ("alf", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m_alf_ra", 176, 144, 6, 29, 712, "RA",
+     ("alf", "eipd", "cm_init", "admvp", "hmvp", "btt", "suco", "adcc")),
+    ("m_alf_all", 176, 144, 5, 31, 713, "RA",
+     ("alf", "addb", "htdf", "eipd", "cm_init", "iqt", "ats", "admvp",
+      "hmvp", "mmvd", "amvr", "btt", "suco", "adcc")),
+]
+
+
+# 10-bit cases (DRA requires 10-bit content; also covers the 10-bit Main
+# device path and the reference's wrapping-int32 ALF classification)
+CASES10 = [
+    ("m10_dra_i", 176, 144, 2, 30, 801, "I", ("dra", "eipd", "cm_init")),
+    ("m10_dra_p", 176, 144, 4, 30, 802, "IPPP",
+     ("dra", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m10_alf_p", 176, 144, 5, 31, 803, "RA",
+     ("alf", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m10_all", 176, 144, 5, 31, 804, "RA",
+     ("dra", "alf", "addb", "htdf", "eipd", "cm_init", "iqt", "ats",
+      "admvp", "hmvp", "mmvd", "amvr", "btt", "suco", "adcc")),
 ]
 
 
@@ -84,6 +106,21 @@ def test_main_golden(fixtures_dir, name, w, h, n, qp, seed, gop, tools,
                      backend):
     stream = make_stream(fixtures_dir / f"{name}.evc", w, h, n, qp, seed,
                          gop, profile=1, tools=tools)
+    golden = ref_decode(stream, fixtures_dir / f"{name}_ref.yuv", main=True)
+    out = fixtures_dir / f"{name}_my_{backend}.yuv"
+    if out.exists():
+        out.unlink()
+    my_decode(stream, out, backend=backend)
+    assert golden.read_bytes() == out.read_bytes(), f"{name}: output differs"
+    out.unlink()
+
+
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+@pytest.mark.parametrize("name,w,h,n,qp,seed,gop,tools", CASES10)
+def test_main_golden_10bit(fixtures_dir, name, w, h, n, qp, seed, gop,
+                           tools, backend):
+    stream = make_stream(fixtures_dir / f"{name}.evc", w, h, n, qp, seed,
+                         gop, profile=1, tools=tools, bd=10)
     golden = ref_decode(stream, fixtures_dir / f"{name}_ref.yuv", main=True)
     out = fixtures_dir / f"{name}_my_{backend}.yuv"
     if out.exists():

@@ -253,7 +253,7 @@ def write_sps(w, h, bd=8, max_num_ref_pics=2, qp_table=None,
     return _nalu(bw, T.NUT_SPS)
 
 
-def write_pps() -> bytes:
+def write_pps(dra_aps_id=None) -> bytes:
     bw = BitWriter()
     bw.write_ue(0)            # pps id
     bw.write_ue(0)            # sps id
@@ -264,12 +264,47 @@ def write_pps() -> bytes:
     bw.write1(1)              # single_tile_in_pic
     bw.write_ue(0)            # tile_id_len_minus1
     bw.write1(0)              # explicit_tile_id
-    bw.write1(0)              # pic_dra
+    bw.write1(0 if dra_aps_id is None else 1)   # pic_dra_enabled
+    if dra_aps_id is not None:
+        bw.write(dra_aps_id, 5)
     bw.write1(0)              # arbitrary_slice
     bw.write1(0)              # constrained_intra_pred
     bw.write1(0)              # cu_qp_delta
     bw.align()
     return _nalu(bw, T.NUT_PPS)
+
+
+def write_aps_dra(aps_id, rng, num_ranges=8, equal=True,
+                  table_idx=None) -> bytes:
+    """DRA APS (mirror of aps.parse_dra_aps,
+    ref: src_main/xevdm_eco.c:2319-2395)."""
+    bw = BitWriter()
+    bw.write(aps_id, 5)
+    bw.write(1, 3)            # aps_type_id = DRA
+    bw.write(4, 4)            # dra_descriptor1
+    bw.write(9, 4)            # dra_descriptor2
+    bw.write_ue(num_ranges - 1)
+    bw.write1(1 if equal else 0)
+    bw.write(0, 10)           # global offset
+    if equal:
+        bw.write(1024 // num_ranges, 10)
+    else:
+        # strictly positive deltas summing to 1024 (zero-width ranges
+        # would divide by zero in the chroma LUT build)
+        extra = rng.multinomial(1024 - 32 * num_ranges,
+                                [1.0 / num_ranges] * num_ranges)
+        for e in extra:
+            bw.write(32 + int(e), 10)
+    for _ in range(num_ranges):
+        bw.write(int(rng.integers(300, 900)), 13)   # luma scales (Q9)
+    bw.write(int(rng.integers(380, 700)), 13)       # cb scale
+    bw.write(int(rng.integers(380, 700)), 13)       # cr scale
+    if table_idx is None:
+        table_idx = int(rng.integers(18, 40))
+    bw.write_ue(table_idx)
+    bw.write1(0)              # aps_extension_flag
+    bw.align()
+    return _nalu(bw, T.NUT_APS)
 
 
 def _s16v(v):
@@ -293,10 +328,12 @@ def _alf_golomb_enc(bw: BitWriter, v: int, k: int, signed_val: bool):
 
 
 def write_aps_alf(aps_id, rng, num_filters=1, filter_type=0,
-                  chroma=True) -> bytes:
+                  chroma=True, fixed_pattern=0, coeff_delta=False,
+                  delta_pred=False) -> bytes:
     """ALF APS with random small coefficients (mirror of aps.parse_alf_aps,
-    ref: src_main/xevdm_eco.c:2396-2480)."""
-    from xevd_tpu.aps import GOLOMB_IDX_5, GOLOMB_IDX_7
+    ref: src_main/xevdm_eco.c:2396-2480).  fixed_pattern 0/1/2 selects the
+    fixed-filter prediction signalling; coeff_delta enables per-filter
+    on/off flags; delta_pred enables inter-filter coefficient deltas."""
     bw = BitWriter()
     bw.write(aps_id, 5)
     bw.write(0, 3)            # aps_type_id = ALF
@@ -308,20 +345,36 @@ def write_aps_alf(aps_id, rng, num_filters=1, filter_type=0,
         nbits = int(T.TBL_LOG2[num_filters - 1]) + 1
         for _ in range(25):
             bw.write(int(rng.integers(0, num_filters)), nbits)
-    _alf_golomb_enc(bw, 0, 0, False)   # fixed_filter_pattern = 0
+    _alf_golomb_enc(bw, fixed_pattern, 0, False)
+    usage = [0] * 25
+    if fixed_pattern == 2:
+        usage = [int(rng.random() < 0.6) for _ in range(25)]
+        for u in usage:
+            bw.write1(u)
+    elif fixed_pattern == 1:
+        usage = [1] * 25
+    if fixed_pattern > 0:
+        for c in range(25):
+            if usage[c]:
+                bw.write(int(rng.integers(0, 16)), 4)
     # luma filter coefficients
-    bw.write1(0)              # coeff_delta_flag
-    if num_filters > 1:
-        bw.write1(0)          # coeff_delta_pred_mode_flag
+    bw.write1(1 if coeff_delta else 0)
+    if not coeff_delta and num_filters > 1:
+        bw.write1(1 if delta_pred else 0)
     ncoef = 13 if filter_type else 7
-    gidx = GOLOMB_IDX_7 if filter_type else GOLOMB_IDX_5
     bw.write_ue(0)            # min_eg_order_minus1 -> kmin = 1
     ngolomb = 3 if filter_type else 2
     for _ in range(ngolomb):
         bw.write1(0)          # eg order increase
-    for _ in range(num_filters):
-        for i in range(ncoef - 1):
-            _alf_golomb_enc(bw, int(rng.integers(-12, 13)), 1, True)
+    cflags = [1] * num_filters
+    if coeff_delta:
+        cflags = [int(rng.random() < 0.8) for _ in range(num_filters)]
+        for f in cflags:
+            bw.write1(f)
+    for f in range(num_filters):
+        if cflags[f]:
+            for i in range(ncoef - 1):
+                _alf_golomb_enc(bw, int(rng.integers(-12, 13)), 1, True)
     if chroma:
         bw.write_ue(0)
         for _ in range(2):
@@ -336,7 +389,7 @@ def write_aps_alf(aps_id, rng, num_filters=1, filter_type=0,
 def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0, tools=None,
              poc_lsb=0, rpl0=None, rpl1=None, temporal_mvp=0,
              collocated_from_list_idx=1, collocated_from_ref_idx=0,
-             mmvd_group=0) -> BitWriter:
+             mmvd_group=0, alf=None) -> BitWriter:
     """Slice header (ref: src_main/xevdm_eco.c:2510-2809; base subset when
     tools is None).  rpl0/rpl1: list of positive delta-POCs for RPL mode."""
     t = tools or Tools()
@@ -348,7 +401,15 @@ def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0, tools=None,
     if t.mmvd and slice_type in (T.SLICE_B, T.SLICE_P):
         bw.write1(mmvd_group)
     if t.alf:
-        bw.write1(0)          # alf_on (off for now)
+        # alf = dict(aps_id_y, is_ctb, chroma_idc, aps_id_ch) or None=off
+        # (ref: src_main/xevdm_eco.c:2608-2650)
+        bw.write1(1 if alf else 0)
+        if alf:
+            bw.write(alf["aps_id_y"], 5)
+            bw.write1(alf.get("is_ctb", 0))
+            bw.write(alf.get("chroma_idc", 0), 2)
+            if alf.get("chroma_idc", 0):
+                bw.write(alf.get("aps_id_ch", alf["aps_id_y"]), 5)
     if nut != T.NUT_IDR:
         if t.pocs:
             bw.write(poc_lsb & ((1 << t.log2_max_poc_lsb) - 1),
@@ -452,6 +513,10 @@ class FrameEncoder:
                 # history resets per CTU row (ref: src_main/xevdm.c:2497)
                 self.mm.history = []
             for x0 in range(0, self.w, ctu):
+                if getattr(self, "alf_ctb_bins", False):
+                    # per-CTU ALF on/off bin (ref: src_main/xevdm.c:2416)
+                    self.sb.encode_bin(self.sb.ctx.alf_ctb_flag, 0,
+                                       int(self.rng.random() < 0.7))
                 if self.is_main:
                     self._tree_main(x0, y0, T.CTU_LOG2_B, T.CTU_LOG2_B, 0)
                 else:
@@ -1390,10 +1455,21 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
     log2_sub_gop = 2 if gop == "RA" else 0
     out = write_sps(w, h, bd=bd, max_num_ref_pics=2,
                     log2_sub_gop_length=log2_sub_gop, profile=profile,
-                    tools=tools) + write_pps()
+                    tools=tools)
+    out += write_pps(dra_aps_id=0 if tools.dra else None)
+    if tools.dra:
+        out += write_aps_dra(0, rng,
+                             num_ranges=int(rng.integers(4, 9)),
+                             equal=bool(rng.random() < 0.5))
     if tools.alf:
-        # ALF APS present (inactive unless a slice references it)
+        # a spread of ALF APS configurations, referenced round-robin
         out += write_aps_alf(0, rng, num_filters=4, filter_type=1)
+        out += write_aps_alf(1, rng, num_filters=1, filter_type=0,
+                             fixed_pattern=1)
+        out += write_aps_alf(2, rng, num_filters=6, filter_type=1,
+                             fixed_pattern=2, coeff_delta=True)
+        out += write_aps_alf(3, rng, num_filters=3, filter_type=1,
+                             delta_pred=True)
 
     sps = _Sps()
     sps.log2_sub_gop_length = log2_sub_gop
@@ -1437,13 +1513,25 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
         num_refp = tuple(pm.num_refp)
 
         mmvd_grp = 1 if tools.mmvd else 0
-        sh = write_sh(st, qp, nut, tools=tools, mmvd_group=mmvd_grp)
+        alf = None
+        if tools.alf:
+            # exercise frame-level off, all-on and per-CTU map paths,
+            # varied APS configs and chroma idcs
+            r = rng.random()
+            if r < 0.8:
+                alf = {"aps_id_y": int(rng.integers(0, 4)),
+                       "is_ctb": int(rng.random() < 0.5),
+                       "chroma_idc": int(rng.integers(0, 4)),
+                       "aps_id_ch": int(rng.integers(0, 4))}
+        sh = write_sh(st, qp, nut, tools=tools, mmvd_group=mmvd_grp,
+                      alf=alf)
         fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
                           density=density, refp=refp, num_refp1=num_refp[1],
                           poc=poc.poc_val, tools=tools,
                           main=profile in (1, 3),
                           mmvd_group_enable=mmvd_grp if st != T.SLICE_I
                           else 0)
+        fe.alf_ctb_bins = bool(alf and alf["is_ctb"])
         payload = fe.encode()
         out += _nalu(sh, nut, tid, payload)
 

@@ -31,8 +31,8 @@ def check_decoder_caps(sps):
     unsup = []
     if getattr(sps, "is_main", False):
         for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
-                           ("tool_dmvr", "dmvr"), ("tool_alf", "alf"),
-                           ("tool_dra", "dra"), ("tool_pocs", "pocs"),
+                           ("tool_dmvr", "dmvr"),
+                           ("tool_pocs", "pocs"),
                            ("tool_rpl", "rpl")):
             if getattr(sps, flag, 0):
                 unsup.append(name)
@@ -329,6 +329,14 @@ class NumpyPixelBackend:
             deblock_frame_addb((rec_y, rec_u, rec_v), job, sps)
         else:
             RN.deblock_frame((rec_y, rec_u, rec_v), job, sps)
+
+        # 5) ALF (ref: src_main/xevdm.c:3209-3213, after deblock)
+        if job.alf_param is not None:
+            from .ops.alf import alf_frame
+            log2_ctu, across = job.alf_misc
+            alf_frame((rec_y, rec_u, rec_v), fs.w, fs.h, job.alf_param,
+                      fs.alf_ctu_on, job.alf_enable, log2_ctu, bd,
+                      across_tiles=across)
         return rec_y, rec_u, rec_v
 
 
@@ -426,6 +434,9 @@ class Decoder:
             v = pic.v[pad_c:pad_c + (pic.h >> ch_s), pad_c:pad_c + (pic.w >> cw_s)]
         else:
             u = v = None
+        if sps.is_main and sps.tool_dra and \
+                getattr(pic, "dra_aps_id", -1) >= 0:
+            y, u, v = self._apply_dra(pic.dra_aps_id, y, u, v)
         # The reference tags every decoded imgb as 10-bit regardless of the
         # SPS bit depth (ref: src_base/xevd_util.c:276 — cs is always
         # *_10LE), so the app's bit-depth conversion treats samples as
@@ -505,6 +516,10 @@ class Decoder:
             job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
                                self.chroma_qp_tbl, num_refp=num_refp,
                                log2_ctu=self.log2_ctu)
+        if getattr(sh, "alf_on", 0):
+            job.alf_param, job.alf_enable = self._assemble_alf(sh)
+            job.alf_misc = (self.log2_ctu, bool(
+                self.pps.loop_filter_across_tiles_enabled_flag))
         rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
 
         # build / recycle picture with padded planes
@@ -516,6 +531,10 @@ class Decoder:
             (rec_y, rec_u, rec_v), fs, sps)
         pic.map_mv = job.map_mv
         pic.map_refi = job.map_refi
+        # active DRA APS at decode time (applied out-of-loop at pull,
+        # ref: src_main/xevdm.c:3321-3346)
+        pic.dra_aps_id = (self.pps.pic_dra_aps_id
+                          if self.pps.pic_dra_enabled_flag else -1)
         pic.sei = self.pending_sei
         self.pending_sei = []
 
@@ -533,6 +552,48 @@ class Decoder:
         )
         self.pic_cnt += 1
 
+    def _assemble_alf(self, sh):
+        """Assemble the effective ALF params from the APS buffers
+        (ref: src_main/xevdm_alf.c:1251-1273 load via
+        alf_load_paramline_from_aps_buffer2)."""
+        import copy
+        py = self.aps_alf[sh.aps_id_y]
+        if py is None or not py.enabled_flag[0]:
+            raise MalformedBitstream("SH references missing/luma-less "
+                                     f"ALF APS {sh.aps_id_y}")
+        param = copy.deepcopy(py)
+        idc = sh.alf_chroma_idc
+        if idc:
+            pc = self.aps_alf[getattr(sh, "aps_id_ch", sh.aps_id_y)]
+            if pc is None or not pc.chroma_filter_present:
+                raise MalformedBitstream("SH references chroma-less ALF APS")
+            param.chroma_coeff = list(pc.chroma_coeff)
+        return param, (1, idc & 1, (idc >> 1) & 1)
+
+    def _dra_luts(self, aps_id):
+        """Cached inverse-DRA LUTs per APS id."""
+        cache = getattr(self, "_dra_lut_cache", None)
+        if cache is None:
+            cache = self._dra_lut_cache = {}
+        if aps_id not in cache:
+            from .ops.dra import build_dra_luts
+            p = self.aps_dra[aps_id]
+            if p is None:
+                raise MalformedBitstream(f"missing DRA APS {aps_id}")
+            cache[aps_id] = build_dra_luts(
+                p, self.sps.bit_depth_luma_minus8 + 8, self.chroma_qp_tbl)
+        return cache[aps_id]
+
+    def _apply_dra(self, aps_id, y, u, v):
+        """Inverse DRA on output copies (the DPB keeps unmapped pixels)."""
+        from .ops.dra import apply_dra_inverse
+        luma_lut, chroma_lut = self._dra_luts(aps_id)
+        y = np.array(np.asarray(y))
+        u = None if u is None else np.array(np.asarray(u))
+        v = None if v is None else np.array(np.asarray(v))
+        apply_dra_inverse(y, u, v, luma_lut, chroma_lut)
+        return y, u, v
+
     def _check_signature(self, sig) -> bool:
         """MD5 per cropped plane (ref: src_base/xevd_util.c:985-1002)."""
         import hashlib
@@ -545,6 +606,31 @@ class Decoder:
         cr = sps.picture_crop_right_offset * 2 if sps.picture_cropping_flag else 0
         ct = sps.picture_crop_top_offset * 2 if sps.picture_cropping_flag else 0
         cb = sps.picture_crop_bottom_offset * 2 if sps.picture_cropping_flag else 0
+        if sps.is_main and sps.tool_dra and \
+                getattr(pic, "dra_aps_id", -1) >= 0:
+            # the signature covers the DRA-mapped output
+            # (ref: src_main/xevdm.c:3268-3286)
+            yf = pic.y[pad:pad + pic.h, pad:pad + pic.w]
+            uf = vf = None
+            if sps.chroma_format_idc:
+                uf = pic.u[pad_c:pad_c + (pic.h >> ch_s),
+                           pad_c:pad_c + (pic.w >> cw_s)]
+                vf = pic.v[pad_c:pad_c + (pic.h >> ch_s),
+                           pad_c:pad_c + (pic.w >> cw_s)]
+            yd, ud, vd = self._apply_dra(pic.dra_aps_id, yf, uf, vf)
+            planes = [yd[ct:pic.h - cb, cl:pic.w - cr]]
+            if sps.chroma_format_idc:
+                planes += [ud[ct >> ch_s:(pic.h - cb) >> ch_s,
+                              cl >> cw_s:(pic.w - cr) >> cw_s],
+                           vd[ct >> ch_s:(pic.h - cb) >> ch_s,
+                              cl >> cw_s:(pic.w - cr) >> cw_s]]
+            for plane, want in zip(planes, sig):
+                import hashlib as _h
+                dig = _h.md5(np.ascontiguousarray(
+                    plane.astype("<u2")).tobytes()).digest()
+                if dig[:len(want)] != want:
+                    return False
+            return True
         planes = []
         y = np.asarray(pic.y[pad + ct:pad + pic.h - cb,
                              pad + cl:pad + pic.w - cr])

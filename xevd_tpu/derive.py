@@ -57,6 +57,10 @@ class FrameJob:
     # availability bits (ops/htdf.py HT_*)
     cu_htdf_idx: np.ndarray = None  # int32 [N]
     cu_htdf_avail: np.ndarray = None  # int32 [N]
+    # ALF (Main, tool_alf): set by the decoder when sh.alf_on
+    alf_param: object = None        # aps.AlfSliceParam (effective)
+    alf_enable: tuple = None        # (luma, u, v)
+    alf_misc: tuple = None          # (log2_ctu, across_tiles)
 
 
 def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,

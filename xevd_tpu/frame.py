@@ -74,6 +74,8 @@ class FrameSyntax:
     # differ from the luma maps inside local-dual-tree areas
     edge_hor_c: np.ndarray = None
     edge_ver_c: np.ndarray = None
+    # per-CTU ALF luma enable map (raster order; all-on unless per-CTU bins)
+    alf_ctu_on: np.ndarray = None
     # intra neighbor availability flags per CU (AVAIL_* bits), entropy-time LR
     cu_avail: list = field(default_factory=list)
 
@@ -487,9 +489,17 @@ class EntropyDecoder:
         self.bs = bs
 
         n_ctu = self.w_lcu * self.h_lcu
+        # per-CTU ALF luma on/off map: all-on unless signalled per CTU
+        # (ref: src_main/xevdm.c:3004 default, :2412-2418 per-CTU bin)
+        fs.alf_ctu_on = np.ones(n_ctu, dtype=np.uint8)
+        alf_ctb_bins = bool(getattr(sh, "alf_on", 0)
+                            and getattr(sh, "alf_is_ctb_alf_on", 0))
         for ctu_idx in range(n_ctu):
             x0 = (ctu_idx % self.w_lcu) << self.log2_ctu
             y0 = (ctu_idx // self.w_lcu) << self.log2_ctu
+            if alf_ctb_bins:
+                fs.alf_ctu_on[ctu_idx] = sbac.decode_bin(
+                    sbac.ctx.alf_ctb_flag, 0)
             if self.is_main:
                 self._decode_tree_main(x0, y0, self.log2_ctu, self.log2_ctu,
                                        parent_suco=0, mode_cons=MODE_CONS_ALL)

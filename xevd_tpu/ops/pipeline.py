@@ -209,8 +209,17 @@ def _recon_all(resids, preds, bd, chroma):
     return rec_y, rec_u, rec_v
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _deblock_finish_addb(recs, pars, geom, bd, chroma, pad):
+def _pad_out(y_area, u_area, v_area, h, w, chroma, pad):
+    pic_y = jnp.pad(y_area[:h, :w], pad, mode="edge")
+    if chroma:
+        pic_u = jnp.pad(u_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
+        pic_v = jnp.pad(v_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
+        return pic_y, pic_u, pic_v
+    return pic_y, None, None
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _deblock_finish_addb(recs, pars, geom, bd, chroma, pad, pad_out=True):
     """ADDB deblock + pad-expand.  pars = (luma [2, hs, ws, 4],
     chroma [2, hs, ws, 7]) per-SCU parameter maps (host-padded so the
     covered area is a multiple of 8 px); dir 0 = ver pass, 1 = hor pass.
@@ -236,16 +245,16 @@ def _deblock_finish_addb(recs, pars, geom, bd, chroma, pad):
     if chroma:
         u_area = JD.addb_chroma_hor(u_area, u_sel[1], bd)
         v_area = JD.addb_chroma_hor(v_area, v_sel[1], bd)
-    pic_y = jnp.pad(y_area[:h, :w], pad, mode="edge")
-    if chroma:
-        pic_u = jnp.pad(u_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
-        pic_v = jnp.pad(v_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
-        return pic_y, pic_u, pic_v
-    return pic_y, None, None
+    if not chroma:
+        u_area = v_area = None
+    if not pad_out:
+        return y_area, u_area, v_area
+    return _pad_out(y_area, u_area, v_area, h, w, chroma, pad)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
-def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad,
+                    pad_out=True):
     """geom = (h, w, h_scu, w_scu).  st [6, h_scu, w_scu] or None.
     waves: SUCO-order chroma vertical-edge schedule (or None for raster
     order, which matches non-SUCO decode order — see jax_deblock)."""
@@ -270,16 +279,16 @@ def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad):
             u_area = JD.chroma_hor_pass(u_area, jnp.repeat(st[3], 2, axis=1), bd)
             v_area = JD.chroma_hor_pass(v_area, jnp.repeat(st[5], 2, axis=1), bd)
 
-    pic_y = jnp.pad(y_area[:h, :w], pad, mode="edge")
-    if chroma:
-        pic_u = jnp.pad(u_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
-        pic_v = jnp.pad(v_area[:h >> 1, :w >> 1], pad >> 1, mode="edge")
-        return pic_y, pic_u, pic_v
-    return pic_y, None, None
+    if not chroma:
+        u_area = v_area = None
+    if not pad_out:
+        return y_area, u_area, v_area
+    return _pad_out(y_area, u_area, v_area, h, w, chroma, pad)
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _frame_step(st_items, payload, icu, dbst, waves, refs_y, refs_u, refs_v):
+def _frame_step(st_items, payload, icu, dbst, waves, refs_y, refs_u, refs_v,
+                alf=None):
     """ONE jitted dispatch per frame (the serial decode path).
 
     Everything fuses into a single XLA program: the reference-plane stack,
@@ -290,14 +299,14 @@ def _frame_step(st_items, payload, icu, dbst, waves, refs_y, refs_u, refs_v):
     refs = (jnp.stack(refs_y) if refs_y else None,
             jnp.stack(refs_u) if refs_u else None,
             jnp.stack(refs_v) if refs_v else None)
-    return run_frame_device(payload, icu, dbst, waves, refs, st)
+    return run_frame_device(payload, icu, dbst, waves, refs, st, alf)
 
 
-def run_frame_device(payload, icu, dbst, waves, refs, st):
+def run_frame_device(payload, icu, dbst, waves, refs, st, alf=None):
     """Device half of one-frame decode: ITDQ -> MC -> recon -> intra scan
-    -> deblock -> padded picture planes.  Pure jax on traced args; `st` is
-    the static metadata dict from JaxPixelBackend.pack_frame.  Callable
-    standalone, under jit, or under vmap (GOP batch axis)."""
+    -> deblock -> [ALF] -> padded picture planes.  Pure jax on traced
+    args; `st` is the static metadata dict from JaxPixelBackend.pack_frame.
+    Callable standalone, under jit, or under vmap (GOP batch axis)."""
     shp_y, shp_c = st["shp_y"], st["shp_c"]
     bd, chroma, iqt = st["bd"], st["chroma"], st["iqt"]
     resids = _itdq_all(payload, st["sig_q"], shp_y, shp_c, bd, iqt)
@@ -336,11 +345,27 @@ def run_frame_device(payload, icu, dbst, waves, refs, st):
                   "left_mask": icu[:, 5], "corner": icu[:, 6],
                   "valid": icu[:, 7]}
             recs = JI.intra_scan(recs, rtuple, cu, bd, chroma)
+    alf_cfg = st.get("alf")
     if st.get("addb"):
-        return _deblock_finish_addb(recs, dbst, st["geom"], bd, chroma,
-                                    T.PIC_PAD_SIZE_L)
-    return _deblock_finish(recs, dbst, waves, st["geom"], bd, chroma,
-                           st["deblock_on"], T.PIC_PAD_SIZE_L)
+        out = _deblock_finish_addb(recs, dbst, st["geom"], bd, chroma,
+                                   T.PIC_PAD_SIZE_L, alf_cfg is None)
+    else:
+        out = _deblock_finish(recs, dbst, waves, st["geom"], bd, chroma,
+                              st["deblock_on"], T.PIC_PAD_SIZE_L,
+                              alf_cfg is None)
+    if alf_cfg is None:
+        return out
+    # ALF stage (ref: src_main/xevdm.c:3209-3213): batched CTU kernel on
+    # the unpadded areas, then pad-expand
+    from . import jax_alf as JA
+    enables, log2_ctu, across = alf_cfg
+    h, w = st["geom"][0], st["geom"][1]
+    coef_l, coef_c, ctu_on = alf
+    y_area, u_area, v_area = out
+    y_area, u_area, v_area = JA.alf_apply(
+        y_area, u_area, v_area, coef_l, coef_c, ctu_on, h, w, log2_ctu,
+        enables, bd, across, chroma)
+    return _pad_out(y_area, u_area, v_area, h, w, chroma, T.PIC_PAD_SIZE_L)
 
 
 class JaxPixelBackend:
@@ -477,8 +502,17 @@ class JaxPixelBackend:
                 self._payload_bufs[self._payload_flip] = payload_np
         else:
             payload_np, sig = pk.finish()
+        alf_np = None
+        alf_cfg = None
+        if job.alf_param is not None:
+            from . import jax_alf as JA
+            log2_ctu, across = job.alf_misc
+            cl, cc = JA.recon_coef_arrays(
+                job.alf_param, job.alf_enable[1] or job.alf_enable[2])
+            alf_np = (cl, cc, fs.alf_ctu_on.astype(np.int32))
+            alf_cfg = (tuple(job.alf_enable), log2_ctu, across)
         return {
-            "payload": payload_np, "icu": icu_np,
+            "payload": payload_np, "icu": icu_np, "alf": alf_np,
             "dbst": dbst_np, "waves": waves_np, "refs": refs,
             "slots": list(getattr(self, "_last_slots", [])),
             "static": dict(
@@ -486,7 +520,7 @@ class JaxPixelBackend:
                 sig_m=tuple(e for e in sig if e[0].startswith("m")),
                 shp_y=shp_y, shp_c=shp_c, bd=bd, chroma=chroma, iqt=iqt,
                 eipd=eipd, has_inter=has_inter, deblock_on=deblock_on,
-                addb=addb,
+                addb=addb, alf=alf_cfg,
                 main_taps=bool(is_main and sps.tool_admvp),
                 geom=(fs.h, fs.w, fs.h_scu, fs.w_scu)),
         }
@@ -497,7 +531,8 @@ class JaxPixelBackend:
         ry, ru, rv = pack["refs"]
         st_items = tuple(sorted(pack["static"].items()))
         return _frame_step(st_items, pack["payload"], pack["icu"],
-                           pack["dbst"], pack["waves"], ry, ru, rv)
+                           pack["dbst"], pack["waves"], ry, ru, rv,
+                           pack["alf"])
 
     # ------------------------------------------------------------------
     def make_picture_planes(self, rec_planes, fs, sps):

@@ -595,3 +595,19 @@ def htdf_skip_and_idx(w: int, h: int, intra: bool, qp: int):
         qp -= 8
     idx = (qp - 20 + 4) >> 3
     return min(max(idx, 0), 4)
+
+
+# ---------------------------------------------------------------------------
+# DRA log/exp approximation tables (ref: src_main/xevdm_tbl.c:410-421)
+# ---------------------------------------------------------------------------
+DRA_CHROMA_QP_OFFSET = np.array([
+    0, 1, 1, 1, 1, 1, 2, 2, 3, 4, 4, 6, 7, 9, 11, 14, 18, 23, 29, 36, 45,
+    57, 72, 91, 114, 144, 181, 228, 287, 362, 456, 575, 724, 912, 1149,
+    1448, 1825, 2299, 2896, 3649, 4598, 5793, 7298, 9195, 11585, 14596,
+    18390, 23170, 29193, 36781, 46341, 58386, 73562, 92682, 116772],
+    dtype=np.int64)
+
+DRA_EXP_NOM = np.array([
+    128, 144, 161, 181, 203, 228, 256, 287, 322, 362, 406, 456, 512, 574,
+    645, 724, 812, 912, 1024, 1149, 1290, 1448, 1625, 1825, 2048],
+    dtype=np.int64)
