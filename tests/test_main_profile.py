@@ -76,6 +76,13 @@ CASES = [
     ("m_alf_all", 176, 144, 5, 31, 713, "RA",
      ("alf", "addb", "htdf", "eipd", "cm_init", "iqt", "ats", "admvp",
       "hmvp", "mmvd", "amvr", "btt", "suco", "adcc")),
+    ("m_pocs_ra", 176, 144, 9, 30, 901, "RA",
+     ("pocs", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m_rpl_p", 176, 144, 4, 30, 901, "IPPP",
+     ("rpl", "pocs", "eipd", "cm_init", "admvp", "hmvp")),
+    ("m_rpl_ra", 176, 144, 9, 30, 901, "RA",
+     ("rpl", "pocs", "eipd", "cm_init", "admvp", "hmvp", "btt", "suco",
+      "adcc")),
 ]
 
 

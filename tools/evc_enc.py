@@ -389,7 +389,7 @@ def write_aps_alf(aps_id, rng, num_filters=1, filter_type=0,
 def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0, tools=None,
              poc_lsb=0, rpl0=None, rpl1=None, temporal_mvp=0,
              collocated_from_list_idx=1, collocated_from_ref_idx=0,
-             mmvd_group=0, alf=None) -> BitWriter:
+             mmvd_group=0, alf=None, active_num=None) -> BitWriter:
     """Slice header (ref: src_main/xevdm_eco.c:2510-2809; base subset when
     tools is None).  rpl0/rpl1: list of positive delta-POCs for RPL mode."""
     t = tools or Tools()
@@ -418,7 +418,13 @@ def write_sh(slice_type, qp, nut, qp_u_off=0, qp_v_off=0, tools=None,
             _write_rlp(bw, rpl0 or [])
             _write_rlp(bw, rpl1 or [])
     if slice_type != T.SLICE_I:
-        bw.write1(0)          # num_ref_idx_active_override
+        if t.rpl and active_num is not None:
+            bw.write1(1)      # num_ref_idx_active_override
+            bw.write_ue(active_num[0] - 1)
+            if slice_type == T.SLICE_B:
+                bw.write_ue(active_num[1] - 1)
+        else:
+            bw.write1(0)      # num_ref_idx_active_override
         if t.admvp:
             bw.write1(temporal_mvp)
             if temporal_mvp:
@@ -446,7 +452,9 @@ def _write_rlp(bw: BitWriter, deltas):
         v = d if i == 0 else d - prev
         bw.write_ue(abs(v))
         if v != 0:
-            bw.write1(1 if v > 0 else 0)
+            # strp_entry_sign_flag: 1 => NEGATIVE
+            # (ref: src_main/xevdm_eco.c:1830-1841 "*= 1 - (flag << 1)")
+            bw.write1(0 if v > 0 else 1)
         prev = d
 
 
@@ -1509,8 +1517,27 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
         if st == T.SLICE_I:
             last_intra_poc = poc.poc_val
 
+        if tools.pocs:
+            slice_ref_flag = True
+        # RPL mode: signal the legacy-heuristic lists explicitly, plus a
+        # keep-list (all currently marked pictures) as extra entries so the
+        # decoder's RPL marking tracks the encoder's legacy-marked DPB
         refp = pm.refp_init(st, poc.poc_val, tid, last_intra_poc)
         num_refp = tuple(pm.num_refp)
+        rpl0 = rpl1 = None
+        active_num = None
+        if tools.rpl and st != T.SLICE_I:
+            l0 = [poc.poc_val - refp[i][0].poc for i in range(num_refp[0])]
+            l1 = [poc.poc_val - refp[i][1].poc for i in range(num_refp[1])]
+            listed = {poc.poc_val - d for d in l0} | \
+                     {poc.poc_val - d for d in l1}
+            extras = [poc.poc_val - p.poc for p in pm.pic
+                      if p is not None and p.is_ref and p.poc not in listed]
+            rpl0 = l0 + extras
+            rpl1 = l1
+            active_num = (max(num_refp[0], 1), max(num_refp[1], 1))
+        elif tools.rpl:
+            rpl0, rpl1 = [], []
 
         mmvd_grp = 1 if tools.mmvd else 0
         alf = None
@@ -1524,7 +1551,8 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
                        "chroma_idc": int(rng.integers(0, 4)),
                        "aps_id_ch": int(rng.integers(0, 4))}
         sh = write_sh(st, qp, nut, tools=tools, mmvd_group=mmvd_grp,
-                      alf=alf)
+                      alf=alf, poc_lsb=poc.poc_val, rpl0=rpl0, rpl1=rpl1,
+                      active_num=active_num)
         fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
                           density=density, refp=refp, num_refp1=num_refp[1],
                           poc=poc.poc_val, tools=tools,

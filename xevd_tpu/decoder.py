@@ -31,9 +31,7 @@ def check_decoder_caps(sps):
     unsup = []
     if getattr(sps, "is_main", False):
         for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
-                           ("tool_dmvr", "dmvr"),
-                           ("tool_pocs", "pocs"),
-                           ("tool_rpl", "rpl")):
+                           ("tool_dmvr", "dmvr")):
             if getattr(sps, flag, 0):
                 unsup.append(name)
     if unsup:
@@ -479,25 +477,51 @@ class Decoder:
         sh = parse_sh(bs, sps, pps, nut)
         self.sh = sh
 
-        # POC derivation (ref: src_base/xevd.c:1842-1867)
+        # POC derivation (ref: src_base/xevd.c:1842-1867; MSB/LSB
+        # src_main/xevdm.c:3045-3076)
         if self.poc.poc_val > self.poc.prev_pic_max_poc_val:
             self.poc.prev_pic_max_poc_val = self.poc.poc_val
-        if nut == T.NUT_IDR:
-            sh.poc_lsb = 0
-            self.poc.prev_doc_offset = -1
-            self.poc.prev_poc_val = 0
-            self.poc.poc_val = 0
+        use_pocs = bool(sps.is_main and sps.tool_pocs)
+        if not use_pocs:
+            if nut == T.NUT_IDR:
+                sh.poc_lsb = 0
+                self.poc.prev_doc_offset = -1
+                self.poc.prev_poc_val = 0
+                self.poc.poc_val = 0
+            else:
+                poc_derivation(sps, tid, self.poc)
+                sh.poc_lsb = self.poc.poc_val
             slice_ref_flag = (tid == 0 or tid < sps.log2_sub_gop_length)
         else:
-            slice_ref_flag = (tid == 0 or tid < sps.log2_sub_gop_length)
-            poc_derivation(sps, tid, self.poc)
-            sh.poc_lsb = self.poc.poc_val
+            if nut == T.NUT_IDR:
+                sh.poc_lsb = 0
+                self.poc.poc_val = 0
+            else:
+                max_lsb = 1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+                lsb = sh.poc_lsb
+                prev_lsb = self.poc.prev_poc_val & (max_lsb - 1)
+                prev_msb = self.poc.prev_poc_val - prev_lsb
+                if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                    msb = prev_msb + max_lsb
+                elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                    msb = prev_msb - max_lsb
+                else:
+                    msb = prev_msb
+                self.poc.poc_val = msb + lsb
+                if tid == 0:
+                    self.poc.prev_poc_val = self.poc.poc_val
+            slice_ref_flag = True
 
         if sh.slice_type == T.SLICE_I:
             self.last_intra_poc = self.poc.poc_val
 
-        refp = self.dpm.refp_init(sh.slice_type, self.poc.poc_val, tid,
-                                  self.last_intra_poc)
+        if sps.is_main and sps.tool_rpl:
+            # (ref: src_main/xevdm.c:3096-3104)
+            self.dpm.refpic_marking_rpl(sh, self.poc.poc_val)
+            refp = self.dpm.refp_init_rpl(sh, self.poc.poc_val)
+        else:
+            refp = self.dpm.refp_init(sh.slice_type, self.poc.poc_val, tid,
+                                      self.last_intra_poc)
         num_refp = tuple(self.dpm.num_refp)
 
         if self.use_native_entropy and not sps.is_main:
@@ -539,7 +563,8 @@ class Decoder:
         self.pending_sei = []
 
         self.dpm.put_pic(pic, nut == T.NUT_IDR, self.poc.poc_val, tid, True,
-                         refp, slice_ref_flag, self.ref_pic_gap_length)
+                         refp, slice_ref_flag, self.ref_pic_gap_length,
+                         tool_rpl=bool(sps.is_main and sps.tool_rpl))
         self.last_pic = pic
 
         stat.fnum = self.pic_cnt

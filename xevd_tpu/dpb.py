@@ -217,6 +217,55 @@ class PictureManager:
             self.num_refp[1] = cnt
         return refp
 
+    def refpic_marking_rpl(self, sh, poc_val: int):
+        """RPL-based reference marking: unmark any DPB reference picture
+        not listed in either RPL (ref: src_main/xevdm_picman.c:542-594)."""
+        self._update_pic_ref()
+        keep = {poc_val - d for d in sh.rpl_l0.ref_pics} | \
+               {poc_val - d for d in sh.rpl_l1.ref_pics} \
+               if sh.rpl_l0 is not None else set()
+        n_check = self.cur_num_ref_pics
+        i = 0
+        while i < n_check:
+            p = self.pic[i]
+            if p is not None and p.is_ref and p.poc not in keep:
+                p.is_ref = False
+                self._move_pic(i, T.MAX_PB_SIZE - 1)
+                self.cur_num_ref_pics -= 1
+                n_check -= 1
+                continue
+            i += 1
+
+    def refp_init_rpl(self, sh, poc_val: int):
+        """Explicit reference lists from the signalled RPLs
+        (ref: src_main/xevdm_picman.c:315-369)."""
+        refp = [[None, None] for _ in range(T.MAX_NUM_REF_PICS)]
+        self.num_refp = [0, 0]
+        if sh.slice_type == T.SLICE_I:
+            return refp
+        self._update_pic_ref()
+        if self.cur_num_ref_pics <= 0:
+            raise ValueError("no reference pictures available")
+
+        def find(target_poc):
+            for p in self.pic_ref:
+                if p.poc == target_poc:
+                    return p
+            raise ValueError(f"RPL references POC {target_poc} "
+                             "not in the DPB")
+
+        for i in range(min(sh.rpl_l0.ref_pic_active_num,
+                           len(sh.rpl_l0.ref_pics))):
+            refp[i][0] = RefPicView(find(poc_val - sh.rpl_l0.ref_pics[i]))
+            self.num_refp[0] += 1
+        if sh.slice_type == T.SLICE_P:
+            return refp
+        for i in range(min(sh.rpl_l1.ref_pic_active_num,
+                           len(sh.rpl_l1.ref_pics))):
+            refp[i][1] = RefPicView(find(poc_val - sh.rpl_l1.ref_pics[i]))
+            self.num_refp[1] += 1
+        return refp
+
     def get_empty_slot(self) -> int:
         """Index into self.pic of a recyclable picture or -1."""
         for i, p in enumerate(self.pic):
@@ -233,11 +282,12 @@ class PictureManager:
 
     def put_pic(self, pic: Picture, is_idr: bool, poc: int, temporal_id: int,
                 need_for_output: bool, refp, slice_ref_flag: bool,
-                ref_pic_gap_length: int):
-        """(ref: src_base/xevd_picman.c:462-510)"""
+                ref_pic_gap_length: int, tool_rpl: bool = False):
+        """(ref: src_base/xevd_picman.c:462-510; rpl gate
+        src_main/xevdm_picman.c:600-616)"""
         if is_idr:
             self._flush()
-        elif temporal_id == 0:
+        elif not tool_rpl and temporal_id == 0:
             self._marking_no_rpl(ref_pic_gap_length)
 
         pic.is_ref = bool(slice_ref_flag)

@@ -139,13 +139,13 @@ def parse_rlp(bs: BitReader) -> RefPicListStruct:
     if rpl.ref_pic_num > 0:
         delta = bs.read_ue()
         if delta != 0:
-            if bs.read1() == 0:  # strp_entry_sign_flag: 1 => positive
+            if bs.read1():   # strp_entry_sign_flag: 1 => negative
                 delta = -delta
         rpl.ref_pics.append(delta)
     for _ in range(1, rpl.ref_pic_num):
         delta = bs.read_ue()
         if delta != 0:
-            if bs.read1() == 0:
+            if bs.read1():
                 delta = -delta
         rpl.ref_pics.append(rpl.ref_pics[-1] + delta)
     return rpl
