@@ -68,6 +68,28 @@ def main():
 
     data = STREAM.read_bytes()
 
+    import xevd_tpu.native as N
+    from xevd_tpu.ops import pipeline as PL
+
+    phase = {"entropy": 0.0, "pack": 0.0}
+    orig_entropy = N.decode_slice_native
+    orig_pack = JaxPixelBackend.pack_frame
+
+    def timed_entropy(*a, **k):
+        t0 = time.time()
+        r = orig_entropy(*a, **k)
+        phase["entropy"] += time.time() - t0
+        return r
+
+    def timed_pack(self, job, sps, refp):
+        t0 = time.time()
+        r = orig_pack(self, job, sps, refp)
+        phase["pack"] += time.time() - t0
+        return r
+
+    N.decode_slice_native = timed_entropy
+    JaxPixelBackend.pack_frame = timed_pack
+
     def decode_once(measure_host=False):
         dec = Decoder(backend=JaxPixelBackend())
         pos = 0
@@ -92,6 +114,7 @@ def main():
         return n, host_t
 
     decode_once()                     # warm-up (jit compiles, cached)
+    phase["entropy"] = phase["pack"] = 0.0
     t0 = time.time()
     n, host_t = decode_once(measure_host=True)
     el = time.time() - t0
@@ -105,6 +128,10 @@ def main():
         "frames": n,
         "total_ms_per_frame": round(1000 * el / n, 2),
         "host_ms_per_frame": round(1000 * host_t / n, 2),
+        # breakdown: C entropy+derive runs on a worker thread overlapped
+        # with pack+dispatch (see decoder._drain_pipeline)
+        "entropy_ms_per_frame": round(1000 * phase["entropy"] / n, 2),
+        "pack_ms_per_frame": round(1000 * phase["pack"] / n, 2),
     }))
 
 

@@ -9,6 +9,7 @@
  */
 #include <stdint.h>
 #include <string.h>
+#include <stdlib.h>
 
 #define PROB_INIT 512
 #define SLICE_B 0
@@ -741,4 +742,85 @@ int evc_decode_slice(
         if (zw != 0 && zw != 0xFFFFFFFFu) return -2;
     }
     return d.n_cus;
+}
+
+/* ------------------------------------------------------------------ */
+/* Deblock boundary-strength maps (Baseline filter), the vectorized
+ * equivalent of derive._deblock_strengths
+ * (ref: src_base/xevd_df.c:34-94,291-545).  Strengths for the edge at
+ * each SCU cell: hor (top edge, pair with cell above) and ver (left
+ * edge, pair with cell left); 0 = no filtering. */
+static int df_table_idx(const uint8_t *map_if, const uint8_t *map_cbfl,
+                        const int8_t *map_refi, const int16_t *map_mv,
+                        int cur, int nb)
+{
+    if (map_if[cur] || map_if[nb]) return 0;
+    if (map_cbfl[cur] || map_cbfl[nb]) return 1;
+    const int8_t *r0 = map_refi + cur * 2, *r1 = map_refi + nb * 2;
+    int16_t m0[4], m1[4];
+    for (int k = 0; k < 4; k++) { m0[k] = map_mv[cur * 4 + k];
+                                  m1[k] = map_mv[nb * 4 + k]; }
+    if (r0[0] < 0) { m0[0] = m0[1] = 0; }
+    if (r0[1] < 0) { m0[2] = m0[3] = 0; }
+    if (r1[0] < 0) { m1[0] = m1[1] = 0; }
+    if (r1[1] < 0) { m1[2] = m1[3] = 0; }
+    int same = (r0[0] == r1[0]) && (r0[1] == r1[1]);
+    int cross = (r0[0] == r1[1]) && (r0[1] == r1[0]);
+    if (same) {
+        int big = 0;
+        for (int k = 0; k < 4; k++)
+            if (abs(m0[k] - m1[k]) >= 4) big = 1;
+        return big ? 2 : 3;
+    }
+    if (cross) {
+        int big = 0;
+        for (int k = 0; k < 4; k++)
+            if (abs(m0[k] - m1[k ^ 2]) >= 4) big = 1;
+        return big ? 2 : 3;
+    }
+    return 2;
+}
+
+void evc_deblock_strengths(
+    int w_scu, int h_scu,
+    const uint8_t *map_if, const uint8_t *map_cbfl, const int32_t *map_qp,
+    const uint8_t *edge_hor, const uint8_t *edge_ver,
+    const int8_t *map_refi, const int16_t *map_mv,
+    const int32_t *df_st,               /* [4][52] */
+    const int32_t *qp_tab_u, const int32_t *qp_tab_v,
+    int qp_u_offset, int qp_v_offset, int bd_l_m8, int bd_c_m8,
+    int32_t *hy, int32_t *hu, int32_t *hv,
+    int32_t *vy, int32_t *vu, int32_t *vv)
+{
+    int qp_off = 6 * bd_c_m8;
+    size_t n = (size_t)w_scu * h_scu;
+    memset(hy, 0, n * 4); memset(hu, 0, n * 4); memset(hv, 0, n * 4);
+    memset(vy, 0, n * 4); memset(vu, 0, n * 4); memset(vv, 0, n * 4);
+    for (int y = 0; y < h_scu; y++) {
+        for (int x = 0; x < w_scu; x++) {
+            int cur = y * w_scu + x;
+            int qp = map_qp[cur];
+            int qp_u = qp + qp_u_offset, qp_v = qp + qp_v_offset;
+            if (qp_u < -qp_off) qp_u = -qp_off; if (qp_u > 57) qp_u = 57;
+            if (qp_v < -qp_off) qp_v = -qp_off; if (qp_v > 57) qp_v = 57;
+            if (y > 0 && edge_hor[cur]) {
+                int idx = df_table_idx(map_if, map_cbfl, map_refi, map_mv,
+                                       cur, cur - w_scu);
+                hy[cur] = df_st[idx * 52 + qp] << bd_l_m8;
+                hu[cur] = df_st[idx * 52 + qp_tab_u[qp_u + qp_off]]
+                          << bd_c_m8;
+                hv[cur] = df_st[idx * 52 + qp_tab_v[qp_v + qp_off]]
+                          << bd_c_m8;
+            }
+            if (x > 0 && edge_ver[cur]) {
+                int idx = df_table_idx(map_if, map_cbfl, map_refi, map_mv,
+                                       cur, cur - 1);
+                vy[cur] = df_st[idx * 52 + qp] << bd_l_m8;
+                vu[cur] = df_st[idx * 52 + qp_tab_u[qp_u + qp_off]]
+                          << bd_c_m8;
+                vv[cur] = df_st[idx * 52 + qp_tab_v[qp_v + qp_off]]
+                          << bd_c_m8;
+            }
+        }
+    }
 }

@@ -25,13 +25,23 @@ def main(argv=None):
                     help="max frames to decode (0=all)")
     ap.add_argument("--output-bit-depth", type=int, default=0)
     ap.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    ap.add_argument("--trace", help="write a syntax-element trace "
+                    "(CU/split events; forces the Python entropy engine)")
+    ap.add_argument("--trace-bins", action="store_true",
+                    help="also trace every SBAC bin")
     args = ap.parse_args(argv)
+
+    if args.trace:
+        from . import trace as _trace
+        _trace.init(args.trace, bins=args.trace_bins)
 
     if args.backend == "jax":
         from .ops.pipeline import JaxPixelBackend
-        dec = Decoder(threads=args.threads, backend=JaxPixelBackend())
+        dec = Decoder(threads=args.threads, backend=JaxPixelBackend(),
+                      use_native_entropy=False if args.trace else None)
     else:
-        dec = Decoder(threads=args.threads)
+        dec = Decoder(threads=args.threads,
+                      use_native_entropy=False if args.trace else None)
     dec.use_pic_signature = args.signature
 
     lookahead = []  # decoded frames pending write (lets device work pipeline)

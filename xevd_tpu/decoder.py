@@ -64,6 +64,28 @@ class OutFrame:
     sei: list = field(default_factory=list)
 
 
+class _LazyPlane:
+    """Deferred view of an output plane whose frame pack+dispatch is still
+    pipelined; materialization drains the pipeline first."""
+
+    def __init__(self, dec, pic, attr, slices):
+        self._dec = dec
+        self._pic = pic
+        self._attr = attr
+        self._slices = slices
+        h = slices[0].stop - slices[0].start
+        w = slices[1].stop - slices[1].start
+        self.shape = (h, w)
+
+    def _resolve(self):
+        self._dec._drain_pipeline()
+        return getattr(self._pic, self._attr)[self._slices]
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._resolve())
+        return a.astype(dtype) if dtype is not None else a
+
+
 class Poc:
     def __init__(self):
         self.poc_val = 0
@@ -369,6 +391,18 @@ class Decoder:
         self.crc_results = []
         self.aps_alf = [None] * 32
         self.aps_dra = [None] * 32
+        # host/device frame pipelining (the reference's eco/recon overlap,
+        # ref: src_base/xevd.c:1528-1606, re-expressed as: C entropy of
+        # slice n+1 on a worker thread — ctypes releases the GIL — while
+        # the main thread packs + dispatches slice n to the device)
+        import os
+        self._pipeline_on = (os.environ.get("XEVD_TPU_PIPELINE", "1") == "1"
+                             and getattr(self.backend, "device_resident",
+                                         False))
+        self._entropy_pool = None
+        self._pending = None     # deferred (job, sps, refp, pic, fs) pack
+        self._scratch_flip = 0
+        self._pull_retry = False
 
     # -- API -----------------------------------------------------------
     def decode(self, nalu: bytes) -> Stat:
@@ -376,6 +410,10 @@ class Decoder:
         nal = parse_nalu_header(bs)
         stat = Stat(nalu_type=nal.nal_unit_type)
         nut = nal.nal_unit_type
+        if nut >= T.NUT_SPS:
+            # non-slice NALU (SPS/PPS/APS/SEI/FD): the deferred frame must
+            # land first (SEI signatures read pixel planes; SPS may realloc)
+            self._drain_pipeline()
         if nut == T.NUT_SPS:
             self.sps = parse_sps(bs)
             self._sequence_init()
@@ -409,6 +447,51 @@ class Decoder:
         stat.read = len(nalu)
         return stat
 
+    # xevd_config op codes (ref: inc/xevd.h:120-127)
+    CFG_SET_USE_PIC_SIGNATURE = 301
+    CFG_GET_CODEC_BIT_DEPTH = 401
+    CFG_GET_WIDTH = 402
+    CFG_GET_HEIGHT = 403
+    CFG_GET_CODED_WIDTH = 404
+    CFG_GET_CODED_HEIGHT = 405
+    CFG_GET_COLOR_SPACE = 406
+    CFG_GET_MAX_CODING_DELAY = 407
+
+    def config(self, cfg: int, value=None):
+        """Runtime get/set mirroring xevd_config
+        (ref: src_base/xevd.c:2283-2341).  Set ops take `value` and return
+        None; get ops return the value."""
+        if cfg == self.CFG_SET_USE_PIC_SIGNATURE:
+            self.use_pic_signature = bool(value)
+            return None
+        sps = self.sps
+        if sps is None:
+            raise ValueError("no sequence configured yet")
+        if cfg == self.CFG_GET_CODEC_BIT_DEPTH:
+            return sps.bit_depth_luma_minus8 + 8
+        w = sps.pic_width_in_luma_samples
+        h = sps.pic_height_in_luma_samples
+        mul = 2 if sps.chroma_format_idc else 1
+        if cfg == self.CFG_GET_WIDTH:
+            if sps.picture_cropping_flag:
+                w -= mul * (sps.picture_crop_left_offset
+                            + sps.picture_crop_right_offset)
+            return w
+        if cfg == self.CFG_GET_HEIGHT:
+            if sps.picture_cropping_flag:
+                h -= mul * (sps.picture_crop_top_offset
+                            + sps.picture_crop_bottom_offset)
+            return h
+        if cfg == self.CFG_GET_CODED_WIDTH:
+            return w
+        if cfg == self.CFG_GET_CODED_HEIGHT:
+            return h
+        if cfg == self.CFG_GET_COLOR_SPACE:
+            return sps.chroma_format_idc
+        if cfg == self.CFG_GET_MAX_CODING_DELAY:
+            return self.max_coding_delay
+        raise ValueError(f"unknown config op {cfg}")
+
     def pull(self):
         """Returns (OutFrame | None, status) like xevd_pull
         (ref: src_base/xevd.c:2042-2069)."""
@@ -424,14 +507,31 @@ class Decoder:
                 sps.picture_crop_bottom_offset * 2 if sps.picture_cropping_flag else 0)
         pad = pic.pad_l
         pad_c = pic.pad_c
-        y = pic.y[pad:pad + pic.h, pad:pad + pic.w]
-        if sps.chroma_format_idc:
-            cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
-            ch_s = 1 if sps.chroma_format_idc == 1 else 0
-            u = pic.u[pad_c:pad_c + (pic.h >> ch_s), pad_c:pad_c + (pic.w >> cw_s)]
-            v = pic.v[pad_c:pad_c + (pic.h >> ch_s), pad_c:pad_c + (pic.w >> cw_s)]
+        cw_s = 1 if sps.chroma_format_idc in (1, 2) else 0
+        ch_s = 1 if sps.chroma_format_idc == 1 else 0
+        if self._pending is not None and pic is self._pending[3]:
+            # this frame's pack+dispatch is still deferred (pipelined
+            # decode): hand out lazy plane views so materialization — at
+            # write time, behind the app's lookahead — triggers the drain,
+            # keeping the overlap with the next slice's entropy
+            y = _LazyPlane(self, pic, "y", (slice(pad, pad + pic.h),
+                                            slice(pad, pad + pic.w)))
+            if sps.chroma_format_idc:
+                cs = (slice(pad_c, pad_c + (pic.h >> ch_s)),
+                      slice(pad_c, pad_c + (pic.w >> cw_s)))
+                u = _LazyPlane(self, pic, "u", cs)
+                v = _LazyPlane(self, pic, "v", cs)
+            else:
+                u = v = None
         else:
-            u = v = None
+            y = pic.y[pad:pad + pic.h, pad:pad + pic.w]
+            if sps.chroma_format_idc:
+                u = pic.u[pad_c:pad_c + (pic.h >> ch_s),
+                          pad_c:pad_c + (pic.w >> cw_s)]
+                v = pic.v[pad_c:pad_c + (pic.h >> ch_s),
+                          pad_c:pad_c + (pic.w >> cw_s)]
+            else:
+                u = v = None
         if sps.is_main and sps.tool_dra and \
                 getattr(pic, "dra_aps_id", -1) >= 0:
             y, u, v = self._apply_dra(pic.dra_aps_id, y, u, v)
@@ -528,12 +628,28 @@ class Decoder:
             from .derive import job_from_native
             from .native import decode_slice_native
             payload = bytes(bs.buf[bs.bytes_read():])
-            fs, native_job = decode_slice_native(
-                payload, sps, pps, sh, num_refp, self.chroma_qp_tbl,
-                refp=refp, poc=self.poc.poc_val)
+            if self._pipeline_on:
+                # overlap: submit this slice's C entropy (GIL-released) to
+                # the worker, then pack+dispatch the PREVIOUS slice on this
+                # thread while it runs
+                if self._entropy_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._entropy_pool = ThreadPoolExecutor(max_workers=1)
+                self._scratch_flip ^= 1
+                fut = self._entropy_pool.submit(
+                    decode_slice_native, payload, sps, pps, sh, num_refp,
+                    self.chroma_qp_tbl, refp, self.poc.poc_val,
+                    self._scratch_flip)
+                self._drain_pipeline()
+                fs, native_job = fut.result()
+            else:
+                fs, native_job = decode_slice_native(
+                    payload, sps, pps, sh, num_refp, self.chroma_qp_tbl,
+                    refp=refp, poc=self.poc.poc_val)
             job = job_from_native(fs, sps, sh, self.chroma_qp_tbl,
                                   native_job)
         else:
+            self._drain_pipeline()
             ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl,
                                  log2_ctu=self.log2_ctu)
             fs = ent.decode_slice(bs, sh, num_refp)
@@ -544,15 +660,20 @@ class Decoder:
             job.alf_param, job.alf_enable = self._assemble_alf(sh)
             job.alf_misc = (self.log2_ctu, bool(
                 self.pps.loop_filter_across_tiles_enabled_flag))
-        rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
 
-        # build / recycle picture with padded planes
+        # build / recycle picture; planes are filled by the (possibly
+        # deferred) pack+dispatch
         slot = self.dpm.get_empty_slot()
         if slot >= 0:
             self.dpm.remove_pic(slot)
         pic = Picture(w=fs.w, h=fs.h)
-        pic.y, pic.u, pic.v = self.backend.make_picture_planes(
-            (rec_y, rec_u, rec_v), fs, sps)
+        if self._pipeline_on and self.use_native_entropy \
+                and not sps.is_main:
+            self._pending = (job, sps, refp, pic, fs)
+        else:
+            rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
+            pic.y, pic.u, pic.v = self.backend.make_picture_planes(
+                (rec_y, rec_u, rec_v), fs, sps)
         pic.map_mv = job.map_mv
         pic.map_refi = job.map_refi
         # active DRA APS at decode time (applied out-of-loop at pull,
@@ -567,6 +688,7 @@ class Decoder:
                          tool_rpl=bool(sps.is_main and sps.tool_rpl))
         self.last_pic = pic
 
+        self._pull_retry = False
         stat.fnum = self.pic_cnt
         stat.stype = sh.slice_type
         stat.poc = self.poc.poc_val
@@ -576,6 +698,18 @@ class Decoder:
             tuple(refp[i][1].poc for i in range(num_refp[1])),
         )
         self.pic_cnt += 1
+
+    def _drain_pipeline(self):
+        """Run the deferred pack+dispatch of the previous slice (fills its
+        Picture planes).  Must run before anything reads pixel planes
+        (pull, picture signature) or before a new frame packs against
+        reference planes."""
+        if self._pending is None:
+            return
+        job, sps, refp, pic, fs = self._pending
+        self._pending = None
+        rec = self.backend.decode_frame(job, sps, refp)
+        pic.y, pic.u, pic.v = self.backend.make_picture_planes(rec, fs, sps)
 
     def _assemble_alf(self, sh):
         """Assemble the effective ALF params from the APS buffers

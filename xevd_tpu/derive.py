@@ -348,7 +348,12 @@ def job_from_native(fs: FrameSyntax, sps, sh, chroma_qp_tbl,
     job.cu_nbr_left = native_job["nbr_left"]
     job.cu_nbr_corner = native_job["nbr_corner"]
     if sh.deblocking_filter_on:
-        _deblock_strengths(job, fs, sps, sh, chroma_qp_tbl)
+        from .native import deblock_strengths_native
+        tbl_u, tbl_v = native_job["chroma_qp_tbl"]
+        hy, hu, hv, vy, vu, vv = deblock_strengths_native(
+            fs, sps, sh, tbl_u, tbl_v, job.map_refi, job.map_mv)
+        job.db_hor_y, job.db_hor_u, job.db_hor_v = hy, hu, hv
+        job.db_ver_y, job.db_ver_u, job.db_ver_v = vy, vu, vv
     else:
         z = np.zeros((fs.h_scu, fs.w_scu), dtype=np.int32)
         job.db_hor_y = job.db_hor_u = job.db_hor_v = z

@@ -309,6 +309,14 @@ class PictureManager:
                     self.pic[i] = pic
                     break
 
+    def peek_out_pic(self):
+        """The picture out_pic() would bump next, without mutating."""
+        for p in self.pic:
+            if p is not None and p.need_for_out and \
+                    p.poc <= self.poc_next_output:
+                return p
+        return None
+
     def out_pic(self):
         """Bump next output picture or (None, delayed?) — returns
         (pic | None, 'ok'|'delayed'|'empty')

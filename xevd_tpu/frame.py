@@ -743,6 +743,12 @@ class EntropyDecoder:
         cuw = 1 << log2_cuw
         cuh = 1 << log2_cuh
         x_scu, y_scu = x >> 2, y >> 2
+        from . import trace
+        if trace.enabled():
+            # (trace analog of ref: src_base/xevd.c:775-786)
+            trace.line(f"poc: {getattr(self.sh, 'poc_lsb', '?')} "
+                       f"x pos {x} y pos {y} width {cuw} height {cuh} "
+                       f"tree {tree_type}")
         scuw, scuh = cuw >> 2, cuh >> 2
 
         pred_mode = T.MODE_INTRA
@@ -875,6 +881,12 @@ class EntropyDecoder:
 
         qp_u, qp_v = self._chroma_qps(qp)
 
+        from . import trace
+        if trace.enabled():
+            trace.line(f"cu pred_mode {pred_mode} ipm {ipm} "
+                       f"ipm_c {ipm_c} qp {qp} cbf {list(cbf)} "
+                       f"refi {list(refi)} mvd {mvd} "
+                       f"inter_dir {inter_dir}")
         # record CU
         fs.cu_x.append(x)
         fs.cu_y.append(y)

@@ -56,14 +56,14 @@ def available() -> bool:
 _SCRATCH = {}
 
 
-def _scratch(w, h):
+def _scratch(w, h, flip=0):
     """Per-resolution reusable entropy-output buffers.  Every field the C
     engine writes is fully rewritten per frame (decode_cu/derive_cu cover
     the whole picture), so only the sparse-write buffers (coef planes,
     edge maps) are re-zeroed here.  Arrays that outlive the frame
     (map_mv/map_refi into the DPB, the cu record slice) are copied or
     freshly allocated by the caller."""
-    key = (w, h)
+    key = (w, h, flip)
     s = _SCRATCH.get(key)
     w_lcu, h_lcu = (w + 63) // 64, (h + 63) // 64
     w_pad, h_pad = w_lcu * 64, h_lcu * 64
@@ -90,11 +90,12 @@ def _scratch(w, h):
         s["coef_v"][:] = 0
         s["edge_hor"][:] = 0
         s["edge_ver"][:] = 0
+        s["cod_eco"][:] = 0      # decode-order availability: per-slice state
     return s, w_pad, h_pad, w_scu, h_scu
 
 
 def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
-                        chroma_qp_tbl, refp=None, poc=0):
+                        chroma_qp_tbl, refp=None, poc=0, flip=0):
     """Native equivalent of frame.EntropyDecoder.decode_slice PLUS the
     baseline derive pass (final motion, intra availability) in C.
 
@@ -104,7 +105,10 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     w = sps.pic_width_in_luma_samples
     h = sps.pic_height_in_luma_samples
     cfi = sps.chroma_format_idc
-    s, w_pad, h_pad, w_scu, h_scu = _scratch(w, h)
+    # flip: ping-pong scratch set so a pipelined entropy pass for slice
+    # n+1 never overwrites buffers (coef planes) the pack of slice n is
+    # still reading on the main thread
+    s, w_pad, h_pad, w_scu, h_scu = _scratch(w, h, flip)
     coef_y, coef_u, coef_v = s["coef_y"], s["coef_u"], s["coef_v"]
     cu_out = s["cu_out"]
     map_if, map_qp = s["map_if"], s["map_qp"]
@@ -185,6 +189,7 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
     fs.edge_ver = edge_ver
     fs.finalize()
     native_job = {
+        "sh": sh, "chroma_qp_tbl": (tbl_u, tbl_v),
         "cu_mv": cu[:, 20:24].reshape(-1, 2, 2).astype(np.int32),
         "cu_refi": cu[:, 24:26].astype(np.int32),
         "nbr_up": cu[:, 26].astype(np.int64) & 0xFFFFFFFF,
@@ -194,3 +199,37 @@ def decode_slice_native(payload: bytes, sps, pps, sh, num_refp,
         "map_refi": map_refi,
     }
     return fs, native_job
+
+
+_DF_ST32 = None
+
+
+def deblock_strengths_native(fs, sps, sh, tbl_u, tbl_v, map_refi, map_mv):
+    """C boundary-strength derivation (native evc_deblock_strengths);
+    returns (hy, hu, hv, vy, vu, vv) int32 maps."""
+    global _DF_ST32
+    lib = get_lib()
+    if _DF_ST32 is None:
+        _DF_ST32 = np.ascontiguousarray(T.DF_ST, np.int32)
+    h_scu, w_scu = fs.h_scu, fs.w_scu
+    outs = [np.empty((h_scu, w_scu), np.int32) for _ in range(6)]
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    mv16 = map_mv if map_mv.dtype == np.int16 else \
+        np.ascontiguousarray(map_mv, np.int16)
+    refi8 = map_refi if map_refi.dtype == np.int8 else \
+        np.ascontiguousarray(map_refi, np.int8)
+    lib.evc_deblock_strengths(
+        w_scu, h_scu,
+        ptr(fs.map_if, ctypes.c_uint8), ptr(fs.map_cbfl, ctypes.c_uint8),
+        ptr(fs.map_qp, ctypes.c_int32),
+        ptr(fs.edge_hor, ctypes.c_uint8), ptr(fs.edge_ver, ctypes.c_uint8),
+        ptr(refi8, ctypes.c_int8), ptr(mv16, ctypes.c_int16),
+        ptr(_DF_ST32, ctypes.c_int32),
+        ptr(tbl_u, ctypes.c_int32), ptr(tbl_v, ctypes.c_int32),
+        sh.qp_u_offset, sh.qp_v_offset,
+        sps.bit_depth_luma_minus8, sps.bit_depth_chroma_minus8,
+        *[ptr(o, ctypes.c_int32) for o in outs])
+    return outs

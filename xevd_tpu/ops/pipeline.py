@@ -74,24 +74,42 @@ def _pow2(n, lo=MIN_BUCKET):
 # payload packing
 # ---------------------------------------------------------------------------
 class _Packer:
-    def __init__(self):
+    """Flat payload assembler.  With a backing buffer (`buf`), alloc()
+    returns slices INTO the payload and finish() is zero-copy; without one
+    (or when the frame outgrows it) the filled arrays are concatenated.
+    Bucket sizes are sticky (they only grow), so steady-state frames write
+    straight into the persistent buffer."""
+
+    def __init__(self, buf=None):
+        self.buf = buf
         self.chunks = []
         self.sig = []
         self.off = 0
+        self.overflow = False
+
+    def alloc(self, name, shape):
+        size = int(np.prod(shape))
+        if self.buf is not None and not self.overflow \
+                and self.off + size <= self.buf.size:
+            arr = self.buf[self.off:self.off + size].reshape(shape)
+        else:
+            self.overflow = True
+            arr = np.empty(shape, np.int32)
+        self.chunks.append(arr)
+        self.sig.append((name, self.off, shape))
+        self.off += size
+        return arr
 
     def add(self, name, arr: np.ndarray):
-        arr = np.ascontiguousarray(arr, dtype=np.int32)
-        self.chunks.append(arr.ravel())
-        self.sig.append((name, self.off, arr.shape))
-        self.off += arr.size
+        out = self.alloc(name, arr.shape)
+        out[...] = arr
 
-    def finish(self, out_buf=None):
+    def finish(self):
         if not self.chunks:
             return np.zeros(1, np.int32), tuple(self.sig)
-        if out_buf is not None and out_buf.size >= self.off:
-            payload = np.concatenate(self.chunks, out=out_buf[:self.off])
-        else:
-            payload = np.concatenate(self.chunks)
+        if self.buf is not None and not self.overflow:
+            return self.buf[:self.off], tuple(self.sig)
+        payload = np.concatenate([c.ravel() for c in self.chunks])
         return payload, tuple(self.sig)
 
 
@@ -118,9 +136,14 @@ def _iota_pos_wh(pos, h, w):
 # ---------------------------------------------------------------------------
 # stage A: ITDQ
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _itdq_all(payload, sig, shp_y, shp_c, bd, iqt=False):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _itdq_all(payload, coefs, sig, shp_y, shp_c, bd, iqt=False):
+    """Bucket rows are [scale, y, x] only; the coefficient BLOCKS are
+    gathered here from the whole coef planes (int16, shipped as-is) —
+    the host never touches coefficient data after entropy."""
     names = _unpack(payload, sig)
+    coef_y, coef_u, coef_v = coefs
+    src = {0: coef_y, 1: coef_u, 2: coef_v}
     planes = {0: jnp.zeros(shp_y, jnp.int16)}
     if shp_c is not None:
         planes[1] = jnp.zeros(shp_c, jnp.int16)
@@ -131,13 +154,16 @@ def _itdq_all(payload, sig, shp_y, shp_c, bd, iqt=False):
         _, lw_s, lh_s, comp_s, trs_s = name.split("_")
         lw, lh, comp, trs = int(lw_s), int(lh_s), int(comp_s), int(trs_s)
         w, h = 1 << lw, 1 << lh
-        blk = names[name]                  # [Np, 3 + w*h] rows
-        coef = blk[:, 3:].reshape(-1, h, w)
+        blk = names[name]                  # [Np, 3] rows: scale, y, x
         scale = blk[:, 0]
         pos = blk[:, 1:3]
-        res = JQ.itdq_bucket(coef, scale, lw, lh, bd, iqt, trs)
         yy, xx = _iota_pos_wh(pos, h, w)
-        planes[comp] = planes[comp].at[yy, xx].set(res, mode="drop")
+        H, W = src[comp].shape
+        coef = src[comp][jnp.clip(yy, 0, H - 1),
+                         jnp.clip(xx, 0, W - 1)].astype(jnp.int32)
+        res = JQ.itdq_bucket(coef, scale, lw, lh, bd, iqt, trs)
+        planes[comp] = planes[comp].at[yy + BORDER, xx + BORDER].set(
+            res, mode="drop")
     if shp_c is not None:
         return planes[0], planes[1], planes[2]
     return planes[0], None, None
@@ -288,7 +314,7 @@ def _deblock_finish(recs, st, waves, geom, bd, chroma, deblock_on, pad,
 
 @partial(jax.jit, static_argnums=(0,))
 def _frame_step(st_items, payload, icu, dbst, waves, refs_y, refs_u, refs_v,
-                alf=None):
+                alf=None, coefs=None):
     """ONE jitted dispatch per frame (the serial decode path).
 
     Everything fuses into a single XLA program: the reference-plane stack,
@@ -299,17 +325,18 @@ def _frame_step(st_items, payload, icu, dbst, waves, refs_y, refs_u, refs_v,
     refs = (jnp.stack(refs_y) if refs_y else None,
             jnp.stack(refs_u) if refs_u else None,
             jnp.stack(refs_v) if refs_v else None)
-    return run_frame_device(payload, icu, dbst, waves, refs, st, alf)
+    return run_frame_device(payload, icu, dbst, waves, refs, st, alf, coefs)
 
 
-def run_frame_device(payload, icu, dbst, waves, refs, st, alf=None):
+def run_frame_device(payload, icu, dbst, waves, refs, st, alf=None,
+                     coefs=None):
     """Device half of one-frame decode: ITDQ -> MC -> recon -> intra scan
     -> deblock -> [ALF] -> padded picture planes.  Pure jax on traced
     args; `st` is the static metadata dict from JaxPixelBackend.pack_frame.
     Callable standalone, under jit, or under vmap (GOP batch axis)."""
     shp_y, shp_c = st["shp_y"], st["shp_c"]
     bd, chroma, iqt = st["bd"], st["chroma"], st["iqt"]
-    resids = _itdq_all(payload, st["sig_q"], shp_y, shp_c, bd, iqt)
+    resids = _itdq_all(payload, coefs, st["sig_q"], shp_y, shp_c, bd, iqt)
     if st["has_inter"]:
         preds = _mc_all(payload, refs, st["sig_m"], shp_y, shp_c, bd,
                         st["main_taps"])
@@ -387,20 +414,8 @@ class JaxPixelBackend:
         import os
         self._reuse = (os.environ.get("XEVD_TPU_REUSE") == "1"
                        or jax.default_backend() not in ("cpu",))
-        self._bufs = {}
         self._payload_bufs = [None, None]   # double buffer: frame n vs n+1
         self._payload_flip = 0
-
-    def _frame_buf(self, name, shape):
-        """Per-bucket scratch array; reused across frames when safe (its
-        contents are copied into the payload on the host each frame)."""
-        if not self._reuse:
-            return np.zeros(shape, np.int32)
-        buf = self._bufs.get(name)
-        if buf is None or buf.shape != shape:
-            buf = np.zeros(shape, np.int32)
-            self._bufs[name] = buf
-        return buf
 
     def _sched_keys(self, prefix):
         for name in self._sched:
@@ -459,7 +474,24 @@ class JaxPixelBackend:
         shp_c = ((BORDER + (fs.h_pad >> 1) + PAD_R,
                   BORDER + (fs.w_pad >> 1) + PAD_R) if chroma else None)
 
-        pk = _Packer()
+        def coef_out(p):
+            if p is None:
+                return np.zeros((8, 8), np.int16)
+            # copy when jax may zero-copy alias host memory (CPU backend):
+            # the native entropy scratch is reused two slices later
+            return p if self._reuse else p.copy()
+
+        coefs = (coef_out(fs.coef_y), coef_out(fs.coef_u),
+                 coef_out(fs.coef_v))
+
+        if self._reuse:
+            # double-buffered backing store: buckets write straight into
+            # the payload; frame n+1 never touches host memory a
+            # still-in-flight transfer of frame n might read
+            self._payload_flip ^= 1
+            pk = _Packer(self._payload_bufs[self._payload_flip])
+        else:
+            pk = _Packer()
         self._pack_itdq(pk, fs, bd, chroma, iqt)
         refs, has_inter = self._pack_mc(pk, fs, job, refp, chroma)
         icu_np = (self._pack_intra_main(fs, job) if eipd
@@ -492,16 +524,11 @@ class JaxPixelBackend:
                     pad_w = np.full((nw - waves_np.shape[0],) +
                                     waves_np.shape[1:], 1 << 20, np.int32)
                     waves_np = np.concatenate([waves_np, pad_w])
-        if self._reuse:
-            # double-buffered so frame n+1's pack never rewrites host
-            # memory a still-in-flight transfer of frame n might read
-            self._payload_flip ^= 1
-            buf = self._payload_bufs[self._payload_flip]
-            payload_np, sig = pk.finish(buf)
-            if buf is None or payload_np.size > buf.size:
-                self._payload_bufs[self._payload_flip] = payload_np
-        else:
-            payload_np, sig = pk.finish()
+        payload_np, sig = pk.finish()
+        if self._reuse and (pk.buf is None or pk.overflow):
+            # bucket schedule grew: bigger persistent buffer next time
+            self._payload_bufs[self._payload_flip] = \
+                np.empty(pk.off + (pk.off >> 2), np.int32)
         alf_np = None
         alf_cfg = None
         if job.alf_param is not None:
@@ -513,6 +540,7 @@ class JaxPixelBackend:
             alf_cfg = (tuple(job.alf_enable), log2_ctu, across)
         return {
             "payload": payload_np, "icu": icu_np, "alf": alf_np,
+            "coefs": coefs,
             "dbst": dbst_np, "waves": waves_np, "refs": refs,
             "slots": list(getattr(self, "_last_slots", [])),
             "static": dict(
@@ -532,7 +560,7 @@ class JaxPixelBackend:
         st_items = tuple(sorted(pack["static"].items()))
         return _frame_step(st_items, pack["payload"], pack["icu"],
                            pack["dbst"], pack["waves"], ry, ru, rv,
-                           pack["alf"])
+                           pack["alf"], pack["coefs"])
 
     # ------------------------------------------------------------------
     def make_picture_planes(self, rec_planes, fs, sps):
@@ -606,15 +634,14 @@ class JaxPixelBackend:
         for comp, idx, lw, lh, xo, yo, trs in entries:
             if len(idx) == 0:
                 continue
-            key = np.stack([lw, lh], 1)
-            uniq, inv = np.unique(key, axis=0, return_inverse=True)
-            for k, (lwv, lhv) in enumerate(uniq):
+            key = (lw << 4) | lh
+            uniq, inv = np.unique(key, return_inverse=True)
+            for k, kv in enumerate(uniq):
                 m = inv == k
-                buckets[(int(lwv), int(lhv), comp, trs)].append(
+                buckets[(int(kv) >> 4, int(kv) & 15, comp, trs)].append(
                     (idx[m], xo[m], yo[m]))
 
         out = {}
-        planes = (fs.coef_y, fs.coef_u, fs.coef_v)
         qps = (fs.cu_qp + 6 * (bd - 8), fs.cu_qp_u, fs.cu_qp_v)
         shifts = (0, 1, 1)
         for (lw, lh, comp, trs), groups in buckets.items():
@@ -622,32 +649,24 @@ class JaxPixelBackend:
             xo = np.concatenate([g[1] for g in groups])
             yo = np.concatenate([g[2] for g in groups])
             s = shifts[comp] if comp else 0
-            xs = (fs.cu_x[idx] >> s) + xo
-            ys = (fs.cu_y[idx] >> s) + yo
-            w, h = 1 << lw, 1 << lh
             N = len(idx)
-            blocks = planes[comp][
-                ys[:, None, None] + np.arange(h)[None, :, None],
-                xs[:, None, None] + np.arange(w)[None, None, :]]
-            arr_n = np.empty((N, 3 + w * h), np.int32)
+            # rows are (scale, y, x) only; coefficient blocks are gathered
+            # from the shipped coef planes ON DEVICE (_itdq_all)
+            arr_n = np.empty((N, 3), np.int32)
             arr_n[:, 0] = scales(qps[comp][idx])
-            arr_n[:, 1] = ys + BORDER
-            arr_n[:, 2] = xs + BORDER
-            arr_n[:, 3:] = blocks.reshape(N, -1)
+            arr_n[:, 1] = (fs.cu_y[idx] >> s) + yo
+            arr_n[:, 2] = (fs.cu_x[idx] >> s) + xo
             out[(lw, lh, comp, trs)] = arr_n
         for key in self._sched_keys("q"):
             if key not in out:
-                out[key] = np.zeros((0, 3 + (1 << key[0]) * (1 << key[1])),
-                                    np.int32)
+                out[key] = np.zeros((0, 3), np.int32)
         for (lw, lh, comp, trs), arr_n in sorted(out.items()):
             name = f"q_{lw}_{lh}_{comp}_{trs}"
             N = len(arr_n)
             Np = self._rows(name, max(N, 1))
-            width = 3 + (1 << lw) * (1 << lh)
-            arr = self._frame_buf(name, (Np, width))
+            arr = pk.alloc(name, (Np, 3))
             arr[:N] = arr_n
             arr[N:, 1:3] = 1 << 20          # OOB positions -> dropped
-            pk.add(name, arr)
 
     # ------------------------------------------------------------------
     def _pack_mc(self, pk, fs, job, refp, chroma):
@@ -732,11 +751,14 @@ class JaxPixelBackend:
             rows = np.stack([slot, gx16 + (pad << 4), gy16 + (pad << 4),
                              y[sel] + BORDER, x[sel] + BORDER],
                             1).astype(np.int32)
-            key = np.stack([cuw[sel], cuh[sel], case], 1)
-            uniq, inv = np.unique(key, axis=0, return_inverse=True)
-            for k, (w_, h_, c_) in enumerate(uniq):
-                buckets.setdefault(("l", int(w_), int(h_), int(c_)),
-                                   []).append(rows[inv == k])
+            # scalar bucket keys: 1-D unique is much cheaper than axis=0
+            key = (cuw[sel] << 16) | (cuh[sel] << 4) | case
+            uniq, inv = np.unique(key, return_inverse=True)
+            for k, kv in enumerate(uniq):
+                kv = int(kv)
+                buckets.setdefault(
+                    ("l", kv >> 16, (kv >> 4) & 0xFFF, kv & 0xF),
+                    []).append(rows[inv == k])
             if chroma:
                 fx_c = (mvx[sel, lidx] << 2) & 31
                 fy_c = (mvy[sel, lidx] << 2) & 31
@@ -745,11 +767,14 @@ class JaxPixelBackend:
                     [slot, gx16 + (pad_c << 5), gy16 + (pad_c << 5),
                      (y[sel] >> 1) + BORDER, (x[sel] >> 1) + BORDER],
                     1).astype(np.int32)
-                key_c = np.stack([cuw[sel] >> 1, cuh[sel] >> 1, case_c], 1)
-                uniq_c, inv_c = np.unique(key_c, axis=0, return_inverse=True)
-                for k, (w_, h_, c_) in enumerate(uniq_c):
-                    buckets.setdefault(("c", int(w_), int(h_), int(c_)),
-                                       []).append(rows_c[inv_c == k])
+                key_c = ((cuw[sel] >> 1) << 16) | ((cuh[sel] >> 1) << 4) \
+                    | case_c
+                uniq_c, inv_c = np.unique(key_c, return_inverse=True)
+                for k, kv in enumerate(uniq_c):
+                    kv = int(kv)
+                    buckets.setdefault(
+                        ("c", kv >> 16, (kv >> 4) & 0xFFF, kv & 0xF),
+                        []).append(rows_c[inv_c == k])
 
         out = {k: np.concatenate(v) for k, v in buckets.items()}
         for key in self._sched_keys("m"):
@@ -772,10 +797,11 @@ class JaxPixelBackend:
         name = f"m_{pl}_{w}_{h}_{case}"
         N = len(arr_n)
         Np = self._rows(name, max(N, 64))
-        arr = self._frame_buf(name, (Np, 5))
+        arr = pk.alloc(name, (Np, 5))
         arr[:N] = arr_n
+        arr[N:, 0] = 0               # pad rows: valid slot, positions OOB
+        arr[N:, 1:3] = 0
         arr[N:, 3:5] = 1 << 20
-        pk.add(name, arr)
 
     # ------------------------------------------------------------------
     def _pack_intra(self, pk, fs, job):

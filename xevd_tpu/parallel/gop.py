@@ -118,6 +118,7 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
 
     # --- stack per-frame packs over the GOP axis; statics must agree -----
     statics, payloads, icus, dbsts, deltas_t = [], [], [], [], []
+    coefs_t = []
     depth = 1
     for t in range(F):
         frames = [caps[g][t] for g in range(G)]
@@ -144,13 +145,16 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
             pay = fr["pack"]["payload"]
             for name, off, shape in st["sig_m"]:
                 rows = pay[off:off + shape[0] * shape[1]].reshape(shape)
-                rows[:, 0] = lut[np.minimum(rows[:, 0], len(lut) - 1)]
+                rows[:, 0] = lut[np.clip(rows[:, 0], 0, len(lut) - 1)]
         deltas = union
         if deltas:
             depth = max(depth, max(deltas))
         statics.append(st)
         deltas_t.append(deltas)
         payloads.append(np.stack([fr["pack"]["payload"] for fr in frames]))
+        coefs_t.append(tuple(
+            np.stack([fr["pack"]["coefs"][c] for fr in frames])
+            for c in range(3)))
         ic = [fr["pack"]["icu"] for fr in frames]
         if any(x is not None for x in ic):
             ncol = next(x.shape[1] for x in ic if x is not None)
@@ -177,12 +181,13 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
 
     args = (tuple(jnp.asarray(p) for p in payloads),
             tuple(None if x is None else jnp.asarray(x) for x in icus),
-            tuple(None if x is None else jnp.asarray(x) for x in dbsts))
+            tuple(None if x is None else jnp.asarray(x) for x in dbsts),
+            tuple(tuple(jnp.asarray(c) for c in cs) for cs in coefs_t))
 
     @partial(jax.jit,
              in_shardings=sh_tree(args),
              out_shardings=(tuple((shard,) * 3 for _ in range(F)), rep))
-    def gop_step(payloads, icus, dbsts):
+    def gop_step(payloads, icus, dbsts, coefs):
         # device-resident DPB: last D decoded pictures per GOP, in HBM
         dpb_y = jnp.zeros((D, G, hp, wp), jnp.int16)
         dpb_u = jnp.zeros((D, G, hpc, wpc), jnp.int16)
@@ -197,10 +202,10 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
                 r_ax = 1
             else:
                 refs, r_ax = None, None
-            fn = lambda p, i, s, r, st=st: run_frame_device(
-                p, i, s, None, r, st)
-            py, pu, pv = jax.vmap(fn, in_axes=(0, 0, 0, r_ax))(
-                payloads[t], icus[t], dbsts[t], refs)
+            fn = lambda p, i, s, r, c, st=st: run_frame_device(
+                p, i, s, None, r, st, None, c)
+            py, pu, pv = jax.vmap(fn, in_axes=(0, 0, 0, r_ax, 0))(
+                payloads[t], icus[t], dbsts[t], refs, coefs[t])
             outs.append((py, pu, pv))
             dpb_y = jnp.concatenate([py[None], dpb_y[:-1]], 0)
             dpb_u = jnp.concatenate([pu[None], dpb_u[:-1]], 0)

@@ -8,6 +8,8 @@ decoder and runs on host; everything downstream is batched device work.
 """
 from __future__ import annotations
 
+from . import trace as _trace
+
 from .bitstream import BitReader
 
 PROB_INIT = 512  # state=256, mps=0  (ref: src_base/xevd_def.h:76)
@@ -221,6 +223,8 @@ class Sbac:
                 value = ((value << 1) | bs.read1()) & 0xFFFF
             self.range = rng
             self.value = value
+        if _trace._fp is not None and _trace._bins:
+            _trace.line(f"bin {bin_}")
         return bin_
 
     def decode_bin_ep(self) -> int:
