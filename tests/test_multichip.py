@@ -26,3 +26,15 @@ def test_gop_sharded_multiple_gops_per_device():
     streams = gen_gop_streams(8, w=64, h=64, frames=2)
     dev, ser = decode_gops_sharded(streams, mesh=mesh)
     assert dev == ser
+
+
+def test_gop_sharded_variable_lengths():
+    """Non-uniform GOP lengths (2..4 frames): short GOPs are padded with
+    inert frames inside the SPMD step; outputs compare per real frame."""
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    mesh = make_mesh(4)
+    streams = gen_gop_streams(4, w=64, h=64, frames=2, variable=True)
+    dev, ser = decode_gops_sharded(streams, mesh=mesh)
+    assert dev == ser
+    assert [len(g) for g in dev] == [2, 3, 4, 2]

@@ -110,8 +110,18 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
         _capture_gop(s, packer, collect=False)
     caps = [_capture_gop(s, packer, collect=True) for s in streams]
 
-    F = len(caps[0])
-    assert all(len(c) == F for c in caps), "GOPs must have equal length"
+    # Variable GOP lengths: pad shorter GOPs with inert copies of their
+    # last frame (output ignored; a pad frame's garbage planes enter only
+    # DPB-carry slots that later pad frames of the same GOP would read).
+    F = max(len(c) for c in caps)
+    valid = [[t < len(caps[g]) for t in range(F)] for g in range(G)]
+    for g in range(G):
+        while len(caps[g]) < F:
+            last = caps[g][-1]
+            pad_fr = dict(last)
+            pad_fr["pack"] = dict(last["pack"],
+                                  payload=last["pack"]["payload"].copy())
+            caps[g].append(pad_fr)
     fs0 = caps[0][0]["fs"]
     h, w = fs0.h, fs0.w
     pad, pad_c = T.PIC_PAD_SIZE_L, T.PIC_PAD_SIZE_C
@@ -221,6 +231,8 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
     for g in range(G):
         dev_g, ser_g = [], []
         for t in range(F):
+            if not valid[g][t]:
+                continue                    # padding frame of a short GOP
             py, pu, pv = (np.asarray(outs[t][0][g]),
                           np.asarray(outs[t][1][g]),
                           np.asarray(outs[t][2][g]))
@@ -232,7 +244,7 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
         serial_md5s.append(ser_g)
     if verbose:
         for g in range(G):
-            for t in range(F):
+            for t in range(len(device_md5s[g])):
                 ok = device_md5s[g][t] == serial_md5s[g][t]
                 print(f"gop {g} frame {t}: device {device_md5s[g][t][:12]} "
                       f"serial {serial_md5s[g][t][:12]} "
@@ -242,12 +254,15 @@ def decode_gops_sharded(streams: list[bytes], mesh=None,
 
 
 def gen_gop_streams(g: int, w: int = 64, h: int = 64, frames: int = 3,
-                    qp: int = 30):
-    """Generate g independent IDR-led IPPP GOP bitstreams (tools/evc_enc)."""
+                    qp: int = 30, variable: bool = False):
+    """Generate g independent IDR-led IPPP GOP bitstreams (tools/evc_enc).
+    With `variable`, GOP g_ has frames + (g_ % 3) frames — exercising the
+    non-uniform-length sharded decode."""
     import sys
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tools"))
     import evc_enc
-    return [evc_enc.encode_stream(w, h, frames, qp, 1000 + 7 * g_, "IPPP",
-                                  0.5)
+    return [evc_enc.encode_stream(
+        w, h, frames + (g_ % 3 if variable else 0), qp,
+        1000 + 7 * g_, "IPPP", 0.5)
             for g_ in range(g)]
