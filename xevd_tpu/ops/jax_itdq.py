@@ -43,15 +43,6 @@ def _floor_shift_recompose(hi, lo, hi_scale_log2, shift):
     return hi_q + (((hi_r << hi_scale_log2) + lo) >> shift)
 
 
-def dequant_block(coef, scale, log2_w, log2_h):
-    """Exact (coef * (scale*ns) + off) >> shift, clip s16.
-
-    coef: int32 [..., h, w]; scale: int32 broadcastable (per-block).
-    shift/ns depend only on static log2 sizes + bit depth (bound by caller
-    via closure in build_itdq)."""
-    raise NotImplementedError  # folded into itdq_bucket
-
-
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def itdq_bucket(coef, scale, log2_w, log2_h, bit_depth, iqt=False, trs=0):
     """coef int32 [N, h, w], scale int32 [N] -> residual int16 [N, h, w].

@@ -16,15 +16,6 @@ from .. import tables as T
 # ---------------------------------------------------------------------------
 # Inverse transform + dequant  (ref: src_base/xevd_itdq.c:473-541)
 # ---------------------------------------------------------------------------
-def dequant(coef: np.ndarray, log2_w: int, log2_h: int, scale: int) -> np.ndarray:
-    """(ref: src_base/xevd_itdq.c:480-517). coef int -> int32 block."""
-    ns_scale = 181 if ((log2_w + log2_h) & 1) else 1
-    log2_size = (log2_w + log2_h) >> 1
-    ns_shift = 8 if ((log2_w + log2_h) & 1) else 0
-    # tr_shift depends on bit depth via caller; embedded here:
-    raise NotImplementedError("use itdq_block")
-
-
 def itdq_block(coef: np.ndarray, log2_w: int, log2_h: int, scale: int,
                bit_depth: int, iqt: bool = False, ats_cu: int = 0,
                ats_mode: int = 0) -> np.ndarray:
