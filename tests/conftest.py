@@ -22,6 +22,13 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compilation cache: jax-backend golden tests recompile the
+# same per-bucket kernels every run (and _clear_jax_caches drops them
+# between tests); reloading a serialized executable is ~100x faster than
+# recompiling, which is what makes the full suite runnable as a whole.
+_JAX_CACHE = Path(__file__).resolve().parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_JAX_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

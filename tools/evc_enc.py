@@ -1494,11 +1494,15 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
     elif gop == "IPPP":
         sched = [(T.SLICE_I, 0)] + [(T.SLICE_P, 0)] * (n_frames - 1)
     else:  # RA
+        # Only complete sub-GOPs: truncating mid-pattern leaves POC holes
+        # (e.g. anchor poc 8 without 5..7), and the reference app's bumping
+        # drain (xevdm_picman_out_pic poc_next_output) then spins forever
+        # at EOF.  Real encoders close the GOP; we round the frame count up
+        # to the next sub-GOP boundary instead.
         sched = [(T.SLICE_I, 0)]
         pat = [(T.SLICE_P, 0), (T.SLICE_B, 1), (T.SLICE_B, 2), (T.SLICE_B, 2)]
         while len(sched) < n_frames:
             sched += pat
-        sched = sched[:n_frames]
 
     for f, (st, tid) in enumerate(sched):
         is_idr = st == T.SLICE_I and (f == 0 or (idr_period and f % idr_period == 0))

@@ -648,6 +648,27 @@ class Decoder:
                     refp=refp, poc=self.poc.poc_val)
             job = job_from_native(fs, sps, sh, self.chroma_qp_tbl,
                                   native_job)
+        elif self.use_native_entropy and sps.is_main:
+            from .native import decode_slice_native_main
+            payload = bytes(bs.buf[bs.bytes_read():])
+            if self._pipeline_on:
+                if self._entropy_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._entropy_pool = ThreadPoolExecutor(max_workers=1)
+                self._scratch_flip ^= 1
+                fut = self._entropy_pool.submit(
+                    decode_slice_native_main, payload, sps, pps, sh,
+                    num_refp, self.chroma_qp_tbl, self.log2_ctu,
+                    self._scratch_flip)
+                self._drain_pipeline()
+                fs = fut.result()
+            else:
+                fs = decode_slice_native_main(
+                    payload, sps, pps, sh, num_refp, self.chroma_qp_tbl,
+                    self.log2_ctu)
+            job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
+                               self.chroma_qp_tbl, num_refp=num_refp,
+                               log2_ctu=self.log2_ctu)
         else:
             self._drain_pipeline()
             ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl,
@@ -667,8 +688,7 @@ class Decoder:
         if slot >= 0:
             self.dpm.remove_pic(slot)
         pic = Picture(w=fs.w, h=fs.h)
-        if self._pipeline_on and self.use_native_entropy \
-                and not sps.is_main:
+        if self._pipeline_on and self.use_native_entropy:
             self._pending = (job, sps, refp, pic, fs)
         else:
             rec_y, rec_u, rec_v = self.backend.decode_frame(job, sps, refp)
