@@ -85,6 +85,33 @@ CASES = [
       "adcc")),
 ]
 
+# affine cases decode on the numpy backend only until the device affine
+# path lands (pipeline.check_caps refuses tool_affine)
+CASES_AFFINE = [
+    ("m_aff_p", 176, 144, 4, 30, 951, "IPPP",
+     ("admvp", "hmvp", "affine", "eipd", "cm_init")),
+    ("m_aff_ra", 176, 144, 5, 30, 952, "RA",
+     ("admvp", "hmvp", "affine", "eipd", "cm_init")),
+    ("m_aff_amvr", 176, 144, 5, 29, 953, "RA",
+     ("admvp", "hmvp", "affine", "amvr", "mmvd", "eipd", "cm_init")),
+    ("m_aff_all", 176, 144, 5, 31, 954, "RA",
+     ("admvp", "hmvp", "affine", "amvr", "mmvd", "btt", "suco", "adcc",
+      "iqt", "ats", "addb", "htdf", "alf", "eipd", "cm_init")),
+]
+
+
+@pytest.mark.parametrize("name,w,h,n,qp,seed,gop,tools", CASES_AFFINE)
+def test_affine_golden(fixtures_dir, name, w, h, n, qp, seed, gop, tools):
+    stream = make_stream(fixtures_dir / f"{name}.evc", w, h, n, qp, seed,
+                         gop, profile=1, tools=tools)
+    golden = ref_decode(stream, fixtures_dir / f"{name}_ref.yuv", main=True)
+    out = fixtures_dir / f"{name}_my.yuv"
+    if out.exists():
+        out.unlink()
+    my_decode(stream, out, backend="numpy")
+    assert golden.read_bytes() == out.read_bytes(), f"{name}: output differs"
+    out.unlink()
+
 
 # 10-bit cases (DRA requires 10-bit content; also covers the 10-bit Main
 # device path and the reference's wrapping-int32 ALF classification)

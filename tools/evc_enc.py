@@ -497,6 +497,11 @@ class FrameEncoder:
         self.mm.map_refi = self.map_refi
         self.mm.cod = self.cod
         self.mm.map_if = self.map_if
+        from xevd_tpu.affine import AffineMaps
+        self.am = AffineMaps(self.w_scu, self.h_scu)
+        # entropy-time affine-flag map (affine_flag ctx neighbor counts,
+        # mirror of frame.EntropyDecoder.map_affine)
+        self.map_aff_eco = np.zeros((self.h_scu, self.w_scu), np.uint8)
         self.mmvd_group_enable = mmvd_group_enable
         self.sh_mirror = SimpleNamespace(
             slice_type=slice_type, temporal_mvp_asigned_flag=0,
@@ -519,7 +524,7 @@ class FrameEncoder:
         for y0 in range(0, self.h, ctu):
             if self.tools.hmvp:
                 # history resets per CTU row (ref: src_main/xevdm.c:2497)
-                self.mm.history = []
+                self.mm.history_reset()
             for x0 in range(0, self.w, ctu):
                 if getattr(self, "alf_ctb_bins", False):
                     # per-CTU ALF on/off bin (ref: src_main/xevdm.c:2416)
@@ -736,13 +741,27 @@ class FrameEncoder:
                 if self.tools.mmvd:
                     mmvd = int(rng.random() < 0.4)
                     sb.encode_bin(ctx.mmvd_flag, 0, mmvd)
+                aff = 0
                 if mmvd:
                     refi, mv = self._enc_mmvd(x_scu, y_scu, cuw, cuh,
                                               log2w, log2h)
                 else:
-                    refi, mv = self._enc_merge_idx(x_scu, y_scu, cuw, cuh)
-                self._set_inter(x_scu, y_scu, scuw, scuh, refi,
-                                np.array(mv), intra=False, skip=True)
+                    if self.tools.affine and cuw >= 8 and cuh >= 8:
+                        aff = int(rng.random() < 0.4)
+                        sb.encode_bin(ctx.affine_flag,
+                                      self._ctx_affine(x_scu, y_scu,
+                                                       scuw, scuh), aff)
+                    if aff:
+                        self._enc_affine_merge(x_scu, y_scu, log2w, log2h,
+                                               skip=True)
+                        self.map_aff_eco[y_scu:y_scu + scuh,
+                                         x_scu:x_scu + scuw] = 1
+                    else:
+                        refi, mv = self._enc_merge_idx(x_scu, y_scu, cuw,
+                                                       cuh)
+                if not aff:
+                    self._set_inter(x_scu, y_scu, scuw, scuh, refi,
+                                    np.array(mv), intra=False, skip=True)
             else:
                 mvp_idx = int(rng.integers(0, 4))
                 sb.trunc_unary(ctx.mvp_idx, 3, 4, mvp_idx)
@@ -783,19 +802,34 @@ class FrameEncoder:
                 if self.tools.mmvd:
                     mmvd = int(rng.random() < 0.4)
                     sb.encode_bin(ctx.mmvd_flag, 0, mmvd)
+                aff = 0
                 if mmvd:
                     refi, mv = self._enc_mmvd(x_scu, y_scu, cuw, cuh,
                                               log2w, log2h)
                 else:
-                    refi, mv = self._enc_merge_idx(x_scu, y_scu, cuw, cuh)
-                self._set_inter(x_scu, y_scu, scuw, scuh, refi,
-                                np.array(mv), intra=False, skip=False)
+                    if self.tools.affine and cuw >= 8 and cuh >= 8:
+                        aff = int(rng.random() < 0.4)
+                        sb.encode_bin(ctx.affine_flag,
+                                      self._ctx_affine(x_scu, y_scu,
+                                                       scuw, scuh), aff)
+                    if aff:
+                        self._enc_affine_merge(x_scu, y_scu, log2w, log2h,
+                                               skip=False)
+                        self.map_aff_eco[y_scu:y_scu + scuh,
+                                         x_scu:x_scu + scuw] = 1
+                    else:
+                        refi, mv = self._enc_merge_idx(x_scu, y_scu, cuw,
+                                                       cuh)
+                if not aff:
+                    self._set_inter(x_scu, y_scu, scuw, scuh, refi,
+                                    np.array(mv), intra=False, skip=False)
                 cbf = self._enc_cbf(intra=False, no_cbf=True)
             else:
                 refi, mv = self._enc_inter_admvp(x_scu, y_scu, cuw, cuh,
                                                  mvr_idx)
-                self._set_inter(x_scu, y_scu, scuw, scuh, refi,
-                                np.array(mv), intra=False, skip=False)
+                if refi is not None:
+                    self._set_inter(x_scu, y_scu, scuw, scuh, refi,
+                                    np.array(mv), intra=False, skip=False)
                 cbf = self._enc_cbf(intra=False, no_cbf=False)
         elif not intra:
             direct = 0
@@ -889,6 +923,111 @@ class FrameEncoder:
         self.map_logw[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2w
         self.map_logh[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2h
 
+    def _ctx_affine(self, x_scu, y_scu, scuw, scuh):
+        # mirror of frame.EntropyDecoder._ctx_flags affine count
+        if not self.tools.cm_init:
+            return 0
+        yb = y_scu + scuh - 1
+        ca = 0
+        n = 0
+        for (py, px) in ((y_scu - 1, x_scu), (yb, x_scu - 1),
+                         (yb, x_scu + scuw)):
+            if 0 <= py and 0 <= px < self.w_scu and self.cod[py, px]:
+                ca += int(self.map_aff_eco[py, px])
+                n += 1
+        if n == 0:
+            return 0
+        return min(ca, 1)
+
+    def _apply_affine(self, x_scu, y_scu, log2w, log2h, refi, ac_mv2,
+                      vertex, skip):
+        """Common affine CU state update: sub-block motion field, affine
+        geometry maps, HMVP center entry (mirror of derive.py)."""
+        from xevd_tpu import affine as AF
+        scuw, scuh = (1 << log2w) >> 2, (1 << log2h) >> 2
+        ys = slice(y_scu, y_scu + scuh)
+        xs = slice(x_scu, x_scu + scuw)
+        self.map_if[ys, xs] = 0
+        self.map_skip[ys, xs] = 1 if skip else 0
+        self.cod[ys, xs] = 1
+        AF.set_affine_mvf(self.mm, x_scu, y_scu, log2w, log2h, refi,
+                          ac_mv2, vertex)
+        self.am.set_cu(x_scu, y_scu, scuw, scuh, vertex - 1, log2w, log2h)
+        if self.tools.hmvp:
+            refi_sp, mv_sp, any_valid = AF.affine_center_mv(
+                ac_mv2, refi, log2w, log2h, vertex)
+            self.mm.history_update(refi_sp, mv_sp, valid=any_valid)
+
+    def _enc_affine_merge(self, x_scu, y_scu, log2w, log2h, skip):
+        """Affine merge: encode the merge idx, apply the candidate."""
+        from xevd_tpu import affine as AF
+        sb = self.sb
+        cuw, cuh = 1 << log2w, 1 << log2h
+        mrg = int(self.rng.integers(0, AF.AFF_MAX_CAND))
+        sb.trunc_unary(sb.ctx.affine_mrg, 5, 5, mrg)
+        lr = self.mm.avail_lr(x_scu, y_scu, cuw >> 2)
+        refi_l, cpmv_l, cp_num = AF.get_affine_merge_candidate(
+            self.poc, self.slice_type, self.mm, self.am, self.refp,
+            x_scu, y_scu, cuw, cuh, lr, self.sh_mirror, T.CTU_LOG2_B)
+        vertex = cp_num[mrg]
+        refi = [refi_l[mrg][0], refi_l[mrg][1]]
+        ac_mv2 = [[list(v) for v in cpmv_l[mrg][l]] for l in range(2)]
+        for l in range(2):
+            if refi[l] < 0:
+                ac_mv2[l] = [[0, 0], [0, 0], [0, 0]]
+        self._apply_affine(x_scu, y_scu, log2w, log2h, refi, ac_mv2,
+                           vertex, skip)
+
+    def _enc_affine_amvp(self, x_scu, y_scu, log2w, log2h, inter_dir):
+        """Affine AMVP: affine_mode + per-list refi/mvp/mvds; applies the
+        resulting CPMVs (mirror of src_main/xevdm.c:978-1021)."""
+        from xevd_tpu import affine as AF
+        sb = self.sb
+        ctx = sb.ctx
+        rng = self.rng
+        cuw, cuh = 1 << log2w, 1 << log2h
+        mode_bit = int(rng.random() < 0.5)
+        sb.encode_bin(ctx.affine_mode, 0, mode_bit)
+        vertex = 2 + mode_bit
+        refi_out = [-1, -1]
+        ac_mv2 = [[[0, 0], [0, 0], [0, 0]] for _ in range(2)]
+        for lidx in range(2):
+            if not (((inter_dir + 1) >> lidx) & 1):
+                continue
+            nrefp = self.num_refp if lidx == 0 else self.num_refp1
+            refi = int(rng.integers(0, nrefp))
+            self._enc_refi(refi, nrefp)
+            mvp_i = int(rng.integers(0, AF.AFF_MAX_NUM_MVP))
+            sb.trunc_unary(ctx.affine_mvp_idx, 1, 2, mvp_i)
+            bzero = int(rng.random() < 0.3)
+            sb.encode_bin(ctx.affine_mvd_flag, lidx, bzero)
+            mvds = []
+            for v in range(vertex):
+                if bzero:
+                    mvds.append((0, 0))
+                else:
+                    mvd = (int(rng.integers(-16, 17)),
+                           int(rng.integers(-16, 17)))
+                    for d in range(2):
+                        sb.abs_mvd(ctx.mvd, abs(mvd[d]))
+                        if mvd[d]:
+                            sb.encode_bin_ep(1 if mvd[d] < 0 else 0)
+                    mvds.append(mvd)
+            lr = self.mm.avail_lr(x_scu, y_scu, cuw >> 2)
+            mvp_a = AF.get_affine_motion_scaling(
+                self.poc, self.mm, self.am, x_scu, y_scu, lidx, refi,
+                nrefp, self.refp, cuw, cuh, vertex, T.CTU_LOG2_B)
+            mp = [list(v) for v in mvp_a[mvp_i]]
+            for v in range(vertex):
+                mvd0x = mvds[0][0] if v > 0 else 0
+                mvd0y = mvds[0][1] if v > 0 else 0
+                ac_mv2[lidx][v] = [_s16v(mp[v][0] + mvd0x + mvds[v][0]),
+                                   _s16v(mp[v][1] + mvd0y + mvds[v][1])]
+            refi_out[lidx] = refi
+        self._apply_affine(x_scu, y_scu, log2w, log2h, refi_out, ac_mv2,
+                           vertex, skip=False)
+        return vertex
+
     def _enc_merge_idx(self, x_scu, y_scu, cuw, cuh):
         """Choose + encode a merge index; returns the resulting (refi, mv)
         via the shared merge-list derivation."""
@@ -965,6 +1104,21 @@ class FrameEncoder:
                               1 if inter_dir == T.PRED_L1 else 0)
         else:
             inter_dir = T.PRED_L0
+        if self.tools.affine and cuw >= 16 and cuh >= 16 and mvr_idx == 0:
+            x_s, y_s = x_scu, y_scu
+            scuw_, scuh_ = cuw >> 2, cuh >> 2
+            aff = int(rng.random() < 0.4)
+            sb.encode_bin(ctx.affine_flag,
+                          self._ctx_affine(x_s, y_s, scuw_, scuh_), aff)
+            if aff:
+                import math
+                log2w = int(math.log2(cuw))
+                log2h = int(math.log2(cuh))
+                vertex = self._enc_affine_amvp(x_s, y_s, log2w, log2h,
+                                               inter_dir)
+                self.map_aff_eco[y_s:y_s + scuh_, x_s:x_s + scuw_] = \
+                    vertex - 1
+                return None, None
         bi = 0
         if inter_dir == T.PRED_BI:
             bi = int(rng.choice([1, 1, 2, 3]))  # BI_NORMAL twice as likely

@@ -30,8 +30,7 @@ def check_decoder_caps(sps):
     ref: src_base/xevd_def.h:841-894)."""
     unsup = []
     if getattr(sps, "is_main", False):
-        for flag, name in (("tool_affine", "affine"), ("ibc_flag", "ibc"),
-                           ("tool_dmvr", "dmvr")):
+        for flag, name in (("ibc_flag", "ibc"), ("tool_dmvr", "dmvr")):
             if getattr(sps, flag, 0):
                 unsup.append(name)
     if unsup:
@@ -204,12 +203,33 @@ class NumpyPixelBackend:
 
         # 2) inter CUs (MODE_SKIP / DIR / INTER): batched MC, no intra deps
         main_taps = bool(getattr(sps, "is_main", False) and sps.tool_admvp)
+        aff_flags = getattr(job, "cu_aff_flag", None)
         for i in range(n):
             if fs.cu_pred_mode[i] == T.MODE_INTRA:
                 continue
             x, y = fs.cu_x[i], fs.cu_y[i]
             cuw = 1 << fs.cu_log2w[i]
             cuh = 1 << fs.cu_log2h[i]
+            if aff_flags is not None and aff_flags[i]:
+                # affine MC (ref: src_main/xevdm.c:1290-1296)
+                from .ops.affine_mc import affine_mc
+                refi_a = [int(job.cu_refi[i][0]), int(job.cu_refi[i][1])]
+                aff_mv = job.cu_aff_mv[i].tolist()
+                py, pu, pv = affine_mc(
+                    int(x), int(y), fs.w, fs.h, int(cuw), int(cuh),
+                    refi_a, aff_mv, refp, int(aff_flags[i]) + 1, bd, bd_c,
+                    cfi)
+                r = resid.get(i, (None, None, None))
+                cbf = fs.cu_cbf[i]
+                rec_y[y:y + cuh, x:x + cuw] = RN.recon(py, r[0],
+                                                       bool(cbf[0]), bd)
+                if cfi:
+                    xc, yc = x >> cw_s, y >> ch_s
+                    rec_u[yc:yc + (cuh >> ch_s), xc:xc + (cuw >> cw_s)] = \
+                        RN.recon(pu, r[1], bool(cbf[1]), bd)
+                    rec_v[yc:yc + (cuh >> ch_s), xc:xc + (cuw >> cw_s)] = \
+                        RN.recon(pv, r[2], bool(cbf[2]), bd)
+                continue
             refi = job.cu_refi[i]
             mv = job.cu_mv[i]
             preds = []
@@ -648,7 +668,9 @@ class Decoder:
                     refp=refp, poc=self.poc.poc_val)
             job = job_from_native(fs, sps, sh, self.chroma_qp_tbl,
                                   native_job)
-        elif self.use_native_entropy and sps.is_main:
+        elif self.use_native_entropy and sps.is_main \
+                and not sps.tool_affine:
+            # (affine parses on the Python engine until the C port lands)
             from .native import decode_slice_native_main
             payload = bytes(bs.buf[bs.bytes_read():])
             if self._pipeline_on:
@@ -666,9 +688,10 @@ class Decoder:
                 fs = decode_slice_native_main(
                     payload, sps, pps, sh, num_refp, self.chroma_qp_tbl,
                     self.log2_ctu)
-            job = derive_frame(fs, sps, pps, sh, refp, self.poc.poc_val,
-                               self.chroma_qp_tbl, num_refp=num_refp,
-                               log2_ctu=self.log2_ctu)
+            from .native import derive_frame_native_main
+            job = derive_frame_native_main(
+                fs, sps, pps, sh, refp, self.poc.poc_val,
+                self.chroma_qp_tbl, num_refp, self.log2_ctu)
         else:
             self._drain_pipeline()
             ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl,

@@ -57,6 +57,9 @@ class FrameJob:
     # availability bits (ops/htdf.py HT_*)
     cu_htdf_idx: np.ndarray = None  # int32 [N]
     cu_htdf_avail: np.ndarray = None  # int32 [N]
+    # affine (Main, tool_affine): per-CU control-point MVs
+    cu_aff_flag: np.ndarray = None  # int32 [N]: 0 off, 1 = 4-param, 2 = 6
+    cu_aff_mv: np.ndarray = None    # int32 [N, 2, 3, 2] CPMVs
     # ALF (Main, tool_alf): set by the decoder when sh.alf_on
     alf_param: object = None        # aps.AlfSliceParam (effective)
     alf_enable: tuple = None        # (luma, u, v)
@@ -100,6 +103,14 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                 "HTDF with constrained intra prediction unsupported")
     cu_htdf_idx = np.full(n, -1, dtype=np.int32)
     cu_htdf_avail = np.zeros(n, dtype=np.int32)
+    affine_on = bool(is_main and getattr(sps, "tool_affine", 0))
+    cu_aff_flag = np.zeros(n, dtype=np.int32)
+    cu_aff_mv = np.zeros((n, 2, 3, 2), dtype=np.int32)
+    if affine_on:
+        from . import affine as AF
+        am = AF.AffineMaps(w_scu, h_scu)
+    else:
+        am = None
 
     map_if = fs.map_if
     constrained = pps.constrained_intra_pred_flag
@@ -115,7 +126,7 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
             row = y >> log2_ctu
             if row != cur_ctu_row:
                 cur_ctu_row = row
-                mm.history = []
+                mm.history_reset()
         x_scu, y_scu = x >> 2, y >> 2
         scuw = cuw >> 2
         scuh = cuh >> 2
@@ -187,7 +198,46 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
             refi = [T.REFI_INVALID, T.REFI_INVALID]
             scup = (y_scu, x_scu)
 
-            if use_admvp and pm in (T.MODE_SKIP, T.MODE_DIR):
+            aff = int(fs.cu_aff[i]) if affine_on else 0
+            if aff and pm in (T.MODE_SKIP, T.MODE_DIR):
+                # affine merge (ref: src_main/xevdm.c:946-977)
+                lr = mm.avail_lr(x_scu, y_scu, scuw)
+                refi_l, cpmv_l, cp_num = AF.get_affine_merge_candidate(
+                    poc_val, fs.slice_type, mm, am, refp, x_scu, y_scu,
+                    cuw, cuh, lr, sh, log2_ctu)
+                mrg = int(fs.cu_mvp_idx[i][0])
+                vertex = cp_num[mrg]
+                aff = vertex - 1
+                ac_mv2 = [[list(v) for v in cpmv_l[mrg][l]]
+                          for l in range(2)]
+                refi = [refi_l[mrg][0], refi_l[mrg][1]]
+                for l in range(2):
+                    if refi[l] < 0:
+                        ac_mv2[l] = [[0, 0], [0, 0], [0, 0]]
+            elif aff and pm == T.MODE_INTER:
+                # affine AMVP (ref: src_main/xevdm.c:978-1021)
+                vertex = aff + 1
+                ac_mv2 = [[[0, 0], [0, 0], [0, 0]] for _ in range(2)]
+                for lidx in range(2):
+                    if ((inter_dir + 1) >> lidx) & 1:
+                        refi[lidx] = int(refi_parsed[lidx])
+                        mvp_a = AF.get_affine_motion_scaling(
+                            poc_val, mm, am, x_scu, y_scu, lidx,
+                            refi[lidx], num_refp[lidx], refp, cuw, cuh,
+                            vertex, log2_ctu)
+                        mp = [list(v) for v in mvp_a[int(fs.cu_mvp_idx[i][lidx])]]
+                        amvd = fs.cu_aff_mvd[i][lidx]
+                        # CPMV0's mvd propagates into the other
+                        # predictors (ref: src_main/xevdm.c:995-1004)
+                        for v in range(vertex):
+                            mvd0x = int(amvd[0][0]) if v > 0 else 0
+                            mvd0y = int(amvd[0][1]) if v > 0 else 0
+                            ac_mv2[lidx][v] = [
+                                _s16(mp[v][0] + mvd0x + int(amvd[v][0])),
+                                _s16(mp[v][1] + mvd0y + int(amvd[v][1]))]
+                    else:
+                        refi[lidx] = T.REFI_INVALID
+            elif use_admvp and pm in (T.MODE_SKIP, T.MODE_DIR):
                 # merge list / MMVD (ref: src_main/xevdm.c:800-886)
                 lr = mm.avail_lr(x_scu, y_scu, scuw)
                 if fs.cu_mmvd_flag[i]:
@@ -269,16 +319,34 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                         refi[lidx] = T.REFI_INVALID
                         mv[lidx] = 0
 
-            if hmvp:
-                # (ref: src_main/xevdm.c:1333-1341, non-affine)
-                mm.history_update(refi, mv)
+            if aff:
+                lw_, lh_ = int(fs.cu_log2w[i]), int(fs.cu_log2h[i])
+                AF.set_affine_mvf(mm, x_scu, y_scu, lw_, lh_, refi,
+                                  ac_mv2, vertex)
+                if hmvp:
+                    refi_sp, mv_sp, any_valid = AF.affine_center_mv(
+                        ac_mv2, refi, lw_, lh_, vertex)
+                    mm.history_update(refi_sp, mv_sp, valid=any_valid)
+                cu_aff_flag[i] = vertex - 1
+                for l in range(2):
+                    for v in range(3):
+                        cu_aff_mv[i, l, v] = ac_mv2[l][v]
+                cu_refi[i] = refi
+            else:
+                if hmvp:
+                    # (ref: src_main/xevdm.c:1333-1341, non-affine)
+                    mm.history_update(refi, mv)
 
-            cu_mv[i] = mv
-            cu_refi[i] = refi
-            ys_, xs_ = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
-            map_refi[ys_, xs_, 0] = refi[0]
-            map_refi[ys_, xs_, 1] = refi[1]
-            map_mv[ys_, xs_] = mv.astype(np.int16)
+                cu_mv[i] = mv
+                cu_refi[i] = refi
+                ys_, xs_ = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
+                map_refi[ys_, xs_, 0] = refi[0]
+                map_refi[ys_, xs_, 1] = refi[1]
+                map_mv[ys_, xs_] = mv.astype(np.int16)
+            if am is not None:
+                am.set_cu(x_scu, y_scu, scuw, scuh, cu_aff_flag[i]
+                          if aff else 0, int(fs.cu_log2w[i]),
+                          int(fs.cu_log2h[i]))
 
         if htdf_on and fs.cu_tree[i] != 2 and (
                 pm == T.MODE_INTRA or fs.cu_cbf[i][0]):
@@ -311,6 +379,8 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
 
     job.cu_htdf_idx = cu_htdf_idx
     job.cu_htdf_avail = cu_htdf_avail
+    job.cu_aff_flag = cu_aff_flag
+    job.cu_aff_mv = cu_aff_mv
     job.cu_mv = cu_mv
     job.cu_refi = cu_refi
     job.map_mv = map_mv

@@ -60,6 +60,8 @@ class FrameSyntax:
     cu_mmvd_flag: list = field(default_factory=list)
     cu_mmvd_idx: list = field(default_factory=list)
     cu_ats: list = field(default_factory=list)       # (ats_cu, mode, inter)
+    cu_aff: list = field(default_factory=list)       # affine flag 0/1/2
+    cu_aff_mvd: list = field(default_factory=list)   # [2][3][2] CPMV mvds
     # per-SCU maps (filled during entropy; motion pass updates mv/refi)
     map_if: np.ndarray = None     # intra flag u8 [h_scu, w_scu]
     map_qp: np.ndarray = None
@@ -86,9 +88,9 @@ class FrameSyntax:
                       "cu_pred_mode", "cu_ipm", "cu_ipm_c", "cu_qp",
                       "cu_qp_u", "cu_qp_v", "cu_inter_dir", "cu_tree",
                       "cu_mvr_idx", "cu_bi_idx", "cu_mmvd_flag",
-                      "cu_mmvd_idx", "cu_avail")
+                      "cu_mmvd_idx", "cu_avail", "cu_aff")
     _VEC_FIELDS = {"cu_cbf": (3,), "cu_refi": (2,), "cu_mvp_idx": (2,),
-                   "cu_mvd": (2, 2), "cu_ats": (3,)}
+                   "cu_mvd": (2, 2), "cu_ats": (3,), "cu_aff_mvd": (2, 3, 2)}
 
     def finalize(self):
         """Convert the per-CU lists to int32 numpy tensors (decode order).
@@ -776,6 +778,8 @@ class EntropyDecoder:
         bi_idx = 0   # BI_NON
         mmvd_flag = 0
         mmvd_idx = 0
+        aff_flag = 0
+        aff_mvd = [[[0, 0], [0, 0], [0, 0]] for _ in range(2)]
 
         self._last_ats = (0, 0, 0)
         if pred_mode == T.MODE_SKIP:
@@ -790,10 +794,17 @@ class EntropyDecoder:
                 if mmvd_flag:
                     mmvd_idx = self._read_mmvd_data(log2_cuw, log2_cuh)
                 else:
-                    # (affine skip variant lands with tool_affine)
-                    mvp_idx[0] = sbac.read_truncate_unary_sym(
-                        ctx.merge_idx, 5, 6)
-                    mvp_idx[1] = mvp_idx[0]
+                    if sps.tool_affine and cuw >= 8 and cuh >= 8:
+                        aff_flag = sbac.decode_bin(ctx.affine_flag,
+                                                   cf["affine"])
+                    if aff_flag:
+                        # affine merge idx (ref: xevdm_eco.c:1531-1537)
+                        mvp_idx[0] = sbac.read_truncate_unary_sym(
+                            ctx.affine_mrg, 5, 5)
+                    else:
+                        mvp_idx[0] = sbac.read_truncate_unary_sym(
+                            ctx.merge_idx, 5, 6)
+                        mvp_idx[1] = mvp_idx[0]
             qp = self.qp_prev_eco if self.pps.cu_qp_delta_enabled_flag else sh.qp
         else:
             # pred mode flag (ref: xevdm_eco_pred_mode,
@@ -823,15 +834,44 @@ class EntropyDecoder:
                     if mmvd_flag:
                         mmvd_idx = self._read_mmvd_data(log2_cuw, log2_cuh)
                     else:
-                        mvp_idx[0] = sbac.read_truncate_unary_sym(
-                            ctx.merge_idx, 5, 6)
-                        mvp_idx[1] = mvp_idx[0]
+                        if sps.tool_affine and cuw >= 8 and cuh >= 8:
+                            aff_flag = sbac.decode_bin(ctx.affine_flag,
+                                                       cf["affine"])
+                        if aff_flag:
+                            mvp_idx[0] = sbac.read_truncate_unary_sym(
+                                ctx.affine_mrg, 5, 5)
+                        else:
+                            mvp_idx[0] = sbac.read_truncate_unary_sym(
+                                ctx.merge_idx, 5, 6)
+                            mvp_idx[1] = mvp_idx[0]
                     pred_mode = T.MODE_DIR
                 elif inter_dir != T.PRED_DIR:
                     if sh.slice_type == T.SLICE_B:
                         inter_dir = self._read_inter_pred_idc(
                             cuw, cuh, admvp)
-                    if not admvp:
+                    if sps.tool_affine and cuw >= 16 and cuh >= 16 and \
+                            mvr_idx == 0:
+                        aff_flag = sbac.decode_bin(ctx.affine_flag,
+                                                   cf["affine"])
+                    if aff_flag:
+                        # affine AMVP (ref: xevdm_eco.c:1649-1694)
+                        aff_flag += sbac.decode_bin(ctx.affine_mode, 0)
+                        for lidx in range(2):
+                            if ((inter_dir + 1) >> lidx) & 1:
+                                refi[lidx] = self._read_refi(
+                                    self.num_refp[lidx])
+                                mvp_idx[lidx] = \
+                                    sbac.read_truncate_unary_sym(
+                                        ctx.affine_mvp_idx, 1, 2)
+                                bzero = sbac.decode_bin(
+                                    ctx.affine_mvd_flag, lidx)
+                                for vertex in range(aff_flag + 1):
+                                    if bzero:
+                                        aff_mvd[lidx][vertex] = [0, 0]
+                                    else:
+                                        aff_mvd[lidx][vertex] = \
+                                            self._read_mvd()
+                    elif not admvp:
                         for lidx in range(2):
                             if ((inter_dir + 1) >> lidx) & 1:
                                 refi[lidx] = self._read_refi(
@@ -910,6 +950,8 @@ class EntropyDecoder:
         fs.cu_mmvd_idx.append(mmvd_idx)
         fs.cu_ats.append(getattr(self, "_last_ats", (0, 0, 0)))
         fs.cu_avail.append(0)
+        fs.cu_aff.append(aff_flag)
+        fs.cu_aff_mvd.append(aff_mvd)
 
         # Chroma CU-boundary edge maps: edges of units that carry chroma
         # (tree != TREE_L).  Dual-tree areas deblock luma at TREE_L leaf
@@ -948,6 +990,7 @@ class EntropyDecoder:
         self.cod_eco[ys, xs] = 1
         self.map_logw[ys, xs] = log2_cuw
         self.map_logh[ys, xs] = log2_cuh
+        self.map_affine[ys, xs] = aff_flag
         # CU-boundary edge maps for deblocking
         fs.edge_hor[y_scu, xs] = 1
         fs.edge_ver[ys, x_scu] = 1

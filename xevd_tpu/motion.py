@@ -65,16 +65,43 @@ class MotionMaps:
         self.cod = np.zeros((h_scu, w_scu), dtype=np.uint8)
         self.map_if = np.zeros((h_scu, w_scu), dtype=np.uint8)
         self.map_ibc = np.zeros((h_scu, w_scu), dtype=np.uint8)
-        self.history = []          # list of (refi[2], mv[2][2]) newest-last
+        # HMVP history: fixed table + count (the reference keeps stale
+        # entries when an affine center MV is invalid -- currCnt still
+        # increments / the shifted tail keeps its old value, ref:
+        # src_main/xevdm.c:657-800)
+        self.hist_refi = [[REFI_INVALID, REFI_INVALID]
+                          for _ in range(ALLOWED_CHECKED_NUM)]
+        self.hist_mv = [[[0, 0], [0, 0]] for _ in range(ALLOWED_CHECKED_NUM)]
+        self.hist_cnt = 0
 
-    # -- HMVP (ref: src_main/xevdm.c:657-798, non-affine path) ----------
-    def history_update(self, refi, mv):
-        ent = ([int(refi[0]), int(refi[1])],
-               [[int(mv[0][0]), int(mv[0][1])],
-                [int(mv[1][0]), int(mv[1][1])]])
-        if len(self.history) == ALLOWED_CHECKED_NUM:
-            self.history.pop(0)
-        self.history.append(ent)
+    @property
+    def history(self):
+        # newest-last view of the live entries (legacy accessor)
+        return [(self.hist_refi[i], self.hist_mv[i])
+                for i in range(self.hist_cnt)]
+
+    def history_reset(self):
+        # per-CTU-row reset clears only the count; table contents persist
+        # (ref: xevdm_hmvp_init resets currCnt)
+        self.hist_cnt = 0
+
+    # -- HMVP (ref: src_main/xevdm.c:657-798) ---------------------------
+    def history_update(self, refi, mv, valid=True):
+        ent_refi = [int(refi[0]), int(refi[1])]
+        ent_mv = [[int(mv[0][0]), int(mv[0][1])],
+                  [int(mv[1][0]), int(mv[1][1])]]
+        if self.hist_cnt == ALLOWED_CHECKED_NUM:
+            for i in range(1, self.hist_cnt):
+                self.hist_refi[i - 1] = self.hist_refi[i]
+                self.hist_mv[i - 1] = self.hist_mv[i]
+            if valid:
+                self.hist_refi[self.hist_cnt - 1] = ent_refi
+                self.hist_mv[self.hist_cnt - 1] = ent_mv
+        else:
+            if valid:
+                self.hist_refi[self.hist_cnt] = ent_refi
+                self.hist_mv[self.hist_cnt] = ent_mv
+            self.hist_cnt += 1
 
     def avail_lr(self, x_scu, y_scu, scuw):
         """(ref: src_base/xevd_util.c:1156-1174 xevd_check_nev_avail)"""

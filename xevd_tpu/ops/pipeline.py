@@ -452,6 +452,10 @@ class JaxPixelBackend:
             raise UnsupportedStream(
                 "JAX backend: HTDF requires the EIPD scan path "
                 "(tool_eipd on); use the numpy backend")
+        if getattr(sps, "is_main", False) and sps.tool_affine:
+            raise UnsupportedStream(
+                "JAX backend: affine MC not on the device path yet; "
+                "use the numpy backend")
 
     # ------------------------------------------------------------------
     def pack_frame(self, job, sps, refp):
