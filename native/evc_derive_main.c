@@ -51,7 +51,8 @@ enum {
     M_REFI0, M_REFI1, M_MVP0, M_MVP1,
     M_MVD0X, M_MVD0Y, M_MVD1X, M_MVD1Y,
     M_INTER_DIR, M_TREE, M_MVR_IDX, M_BI_IDX, M_MMVD_FLAG, M_MMVD_IDX,
-    M_ATS_CU, M_ATS_MODE, M_ATS_INTER, MAIN_CU_FIELDS
+    M_ATS_CU, M_ATS_MODE, M_ATS_INTER,
+    M_AFF_FLAG, M_AFF_MVD, MAIN_CU_FIELDS = M_AFF_MVD + 12
 };
 
 /* derive params layout (native.py must match) */
@@ -86,6 +87,9 @@ typedef struct {
     const int16_t *r00_mv;        /* refp[0][0].map_mv (baseline tmvp) */
     const int16_t *r01_mv;        /* refp[0][1].map_mv */
     int r1_poc, r1_list_poc0;
+    /* affine per-SCU state (AffineMaps): flag 0/1/2 + owning-CU geometry */
+    uint8_t *am_aff, *am_logw, *am_logh;
+    uint16_t *am_xoff, *am_yoff;
 } DM;
 
 static int s16c(long long v) {
@@ -129,18 +133,35 @@ static int dm_avail_lr(DM *d, int x_scu, int y_scu, int scuw) {
     return lr;
 }
 
-static void hist_update(DM *d, const int refi[2], const int mv[2][2]) {
+static void hist_update_v(DM *d, const int refi[2], const int mv[2][2],
+                          int valid) {
+    /* the reference keeps a stale slot when an affine center MV is
+       invalid: the count still advances / the shifted tail keeps its old
+       value (ref: src_main/xevdm.c:657-800) */
     if (d->hist_n == ALLOWED_CHECKED_NUM) {
         memmove(d->hist_refi[0], d->hist_refi[1],
                 sizeof(d->hist_refi[0]) * (ALLOWED_CHECKED_NUM - 1));
         memmove(d->hist_mv[0], d->hist_mv[1],
                 sizeof(d->hist_mv[0]) * (ALLOWED_CHECKED_NUM - 1));
         d->hist_n--;
+        if (valid) {
+            d->hist_refi[d->hist_n][0] = refi[0];
+            d->hist_refi[d->hist_n][1] = refi[1];
+            memcpy(d->hist_mv[d->hist_n], mv, sizeof(d->hist_mv[0]));
+        }
+        d->hist_n++;
+    } else {
+        if (valid) {
+            d->hist_refi[d->hist_n][0] = refi[0];
+            d->hist_refi[d->hist_n][1] = refi[1];
+            memcpy(d->hist_mv[d->hist_n], mv, sizeof(d->hist_mv[0]));
+        }
+        d->hist_n++;
     }
-    d->hist_refi[d->hist_n][0] = refi[0];
-    d->hist_refi[d->hist_n][1] = refi[1];
-    memcpy(d->hist_mv[d->hist_n], mv, sizeof(d->hist_mv[0]));
-    d->hist_n++;
+}
+
+static void hist_update(DM *d, const int refi[2], const int mv[2][2]) {
+    hist_update_v(d, refi, mv, 1);
 }
 
 /* 5-position neighbor scan (ref: src_main/xevdm_util.c:594-744).
@@ -811,6 +832,719 @@ static int htdf_skip_and_idx(int w, int h, int intra, int qp) {
     return idx;
 }
 
+/* ------------------------------------------------------------------ */
+/* Affine candidate machinery (port of xevd_tpu/affine.py; ref:
+   src_main/xevdm_util.c:1870-3189, xevdm.c:938-1040)                  */
+/* ------------------------------------------------------------------ */
+#define VER_NUM 4
+#define AFF_MAX_CAND 5
+#define AFF_MODEL_CAND 5
+#define AFF_MAX_NUM_MVP 2
+#define LR_10 1
+
+static int tbl_log2i(int v) {
+    int r = 0;
+    while (v > 1) { v >>= 1; r++; }
+    return r;
+}
+
+static void aff_mv_rounding(long long hor, long long ver, int right_shift,
+                            int *oh, int *ov) {
+    long long offset = right_shift > 0 ? (1LL << (right_shift - 1)) : 0;
+    *oh = (int)((hor + offset - (hor >= 0)) >> right_shift);
+    *ov = (int)((ver + offset - (ver >= 0)) >> right_shift);
+}
+
+static void aff_model_params(const int ac_mv[VER_NUM][2], int cuw, int cuh,
+                             int vertex_num, int prec, int d_hor[2],
+                             int d_ver[2]) {
+    int lw = tbl_log2i(cuw), lh = tbl_log2i(cuh);
+    for (int c = 0; c < 2; c++)
+        d_hor[c] = ((ac_mv[1][c] - ac_mv[0][c]) << prec) >> lw;
+    if (vertex_num == 3) {
+        for (int c = 0; c < 2; c++)
+            d_ver[c] = ((ac_mv[2][c] - ac_mv[0][c]) << prec) >> lh;
+    } else {
+        d_ver[0] = -d_hor[1];
+        d_ver[1] = d_hor[0];
+    }
+}
+
+/* derive_affine_model_mv: inherited CPMVs from an affine neighbor */
+static void aff_model_mv(DM *d, int cy, int cx, int ny, int nx, int lidx,
+                         int cuw, int cuh, int cur_cp_num,
+                         int log2_max_cuwh, int mvp[3][2]) {
+    int W = d->w_scu;
+    int nl_w = d->am_logw[ny * W + nx];
+    int nl_h = d->am_logh[ny * W + nx];
+    int neb_w = 1 << nl_w, neb_h = 1 << nl_h;
+    int by = ny - d->am_yoff[ny * W + nx];
+    int bx = nx - d->am_xoff[ny * W + nx];
+    int addr[4][2] = {
+        {by, bx}, {by, bx + (neb_w >> 2) - 1},
+        {by + (neb_h >> 2) - 1, bx},
+        {by + (neb_h >> 2) - 1, bx + (neb_w >> 2) - 1}};
+    int neb_mv[4][2];
+    for (int i = 0; i < 4; i++) {
+        int p = addr[i][0] * W + addr[i][1];
+        neb_mv[i][0] = d->map_mv[(p * 2 + lidx) * 2];
+        neb_mv[i][1] = d->map_mv[(p * 2 + lidx) * 2 + 1];
+    }
+    int neb_x = bx << 2, neb_y = by << 2;
+    int cur_x = cx << 2, cur_y = cy << 2;
+    int max_bit = 7;
+    int diff_w = max_bit - nl_w, diff_h = max_bit - nl_h;
+    int top_bound = 0;
+    if ((neb_y + neb_h) % (1 << log2_max_cuwh) == 0
+        && (neb_y + neb_h) == cur_y) {
+        top_bound = 1;
+        neb_y += neb_h;
+        neb_mv[0][0] = neb_mv[2][0]; neb_mv[0][1] = neb_mv[2][1];
+        neb_mv[1][0] = neb_mv[3][0]; neb_mv[1][1] = neb_mv[3][1];
+    }
+    int dhx = (neb_mv[1][0] - neb_mv[0][0]) << diff_w;
+    int dhy = (neb_mv[1][1] - neb_mv[0][1]) << diff_w;
+    int dvx, dvy;
+    if (cur_cp_num == 3 && !top_bound) {
+        dvx = (neb_mv[2][0] - neb_mv[0][0]) << diff_h;
+        dvy = (neb_mv[2][1] - neb_mv[0][1]) << diff_h;
+    } else {
+        dvx = -dhy;
+        dvy = dhx;
+    }
+    long long hor_base = (long long)neb_mv[0][0] << max_bit;
+    long long ver_base = (long long)neb_mv[0][1] << max_bit;
+    int pts[3][2] = {{cur_x - neb_x, cur_y - neb_y},
+                     {cur_x - neb_x + cuw, cur_y - neb_y},
+                     {cur_x - neb_x, cur_y - neb_y + cuh}};
+    int n = cur_cp_num == 3 ? 3 : 2;
+    mvp[2][0] = mvp[2][1] = 0;
+    for (int i = 0; i < n; i++) {
+        long long th = (long long)dhx * pts[i][0]
+                       + (long long)dvx * pts[i][1] + hor_base;
+        long long tv = (long long)dhy * pts[i][0]
+                       + (long long)dvy * pts[i][1] + ver_base;
+        int h, v;
+        aff_mv_rounding(th, tv, max_bit, &h, &v);
+        mvp[i][0] = s16c(h);
+        mvp[i][1] = s16c(v);
+    }
+}
+
+#define COD_OK(d, y, x) \
+    ((d)->cod[(y) * (d)->w_scu + (x)] \
+     && !(d)->map_if[(y) * (d)->w_scu + (x)])
+#define AFF_OK(d, y, x) \
+    (COD_OK(d, y, x) && (d)->am_aff[(y) * (d)->w_scu + (x)] != 0)
+
+/* constructed candidate (ref: xevdm_derive_affine_constructed_candidate) */
+static int aff_constructed(int cuw, int cuh, const int cp_valid[VER_NUM],
+                           int cp_mv[2][VER_NUM][2],
+                           const int cp_refi[2][VER_NUM],
+                           const int *cp_idx, int model_idx, int ver_num,
+                           int cpmv[AFF_MAX_CAND][2][3][2],
+                           int refi_l[AFF_MAX_CAND][2], int cnt,
+                           int cp_num[AFF_MAX_CAND]) {
+    if (cnt >= AFF_MAX_CAND) return cnt;
+    int shift_htow = 7 + tbl_log2i(cuw) - tbl_log2i(cuh);
+    int valid_model[2] = {0, 0};
+    for (int i = 0; i < ver_num; i++)
+        if (!cp_valid[cp_idx[i]]) return cnt;
+    for (int lidx = 0; lidx < 2; lidx++) {
+        int ok = 1, r0 = cp_refi[lidx][cp_idx[0]];
+        if (r0 < 0) ok = 0;
+        for (int i = 1; i < ver_num && ok; i++)
+            if (cp_refi[lidx][cp_idx[i]] != r0
+                || cp_refi[lidx][cp_idx[i]] < 0) ok = 0;
+        valid_model[lidx] = ok;
+    }
+    if (!valid_model[0] && !valid_model[1]) return cnt;
+    cp_num[cnt] = ver_num;
+    for (int lidx = 0; lidx < 2; lidx++) {
+        if (valid_model[lidx]) {
+            refi_l[cnt][lidx] = cp_refi[lidx][cp_idx[0]];
+            long long tmp[VER_NUM][2];
+            for (int i = 0; i < VER_NUM; i++) {
+                tmp[i][0] = cp_mv[lidx][i][0];
+                tmp[i][1] = cp_mv[lidx][i][1];
+            }
+            if (model_idx == 1) {
+                tmp[2][0] = tmp[3][0] + tmp[0][0] - tmp[1][0];
+                tmp[2][1] = tmp[3][1] + tmp[0][1] - tmp[1][1];
+            } else if (model_idx == 2) {
+                tmp[1][0] = tmp[3][0] + tmp[0][0] - tmp[2][0];
+                tmp[1][1] = tmp[3][1] + tmp[0][1] - tmp[2][1];
+            } else if (model_idx == 3) {
+                tmp[0][0] = tmp[1][0] + tmp[2][0] - tmp[3][0];
+                tmp[0][1] = tmp[1][1] + tmp[2][1] - tmp[3][1];
+            } else if (model_idx == 5) {
+                long long th = ((tmp[2][1] - tmp[0][1]) << shift_htow)
+                               + (tmp[0][0] << 7);
+                long long tv = -((tmp[2][0] - tmp[0][0]) << shift_htow)
+                               + (tmp[0][1] << 7);
+                int h, v;
+                aff_mv_rounding(th, tv, 7, &h, &v);
+                tmp[1][0] = h;
+                tmp[1][1] = v;
+            }
+            for (int i = 0; i < ver_num; i++) {
+                cpmv[cnt][lidx][i][0] = s16c(tmp[i][0]);
+                cpmv[cnt][lidx][i][1] = s16c(tmp[i][1]);
+            }
+        } else {
+            refi_l[cnt][lidx] = REFI_INVALID;
+            for (int i = 0; i < ver_num; i++) {
+                cpmv[cnt][lidx][i][0] = 0;
+                cpmv[cnt][lidx][i][1] = 0;
+            }
+        }
+    }
+    return cnt + 1;
+}
+
+/* affine merge list (ref: xevdm_get_affine_merge_candidate) */
+static void aff_merge_candidates(DM *d, int x_scu, int y_scu, int cuw,
+                                 int cuh, int avail_lr, int log2_max_cuwh,
+                                 int refi_l[AFF_MAX_CAND][2],
+                                 int cpmv[AFF_MAX_CAND][2][3][2],
+                                 int cp_num[AFF_MAX_CAND]) {
+    int W = d->w_scu, H = d->h_scu;
+    int scuw = cuw >> 2, scuh = cuh >> 2;
+    int cnt = 0;
+    for (int k = 0; k < AFF_MAX_CAND; k++) {
+        refi_l[k][0] = refi_l[k][1] = REFI_INVALID;
+        cp_num[k] = 2;
+        memset(cpmv[k], 0, sizeof(cpmv[k]));
+    }
+    /* model based (inherited) */
+    int neb[5][2], valid[5];
+    if (avail_lr == LR_01) {
+        int tmp[5][2] = {{y_scu + scuh - 1, x_scu + scuw},
+                         {y_scu - 1, x_scu},
+                         {y_scu - 1, x_scu - 1},
+                         {y_scu + scuh, x_scu + scuw},
+                         {y_scu - 1, x_scu + scuw}};
+        memcpy(neb, tmp, sizeof(tmp));
+        valid[0] = x_scu + scuw < W && AFF_OK(d, neb[0][0], neb[0][1]);
+        valid[1] = y_scu > 0 && AFF_OK(d, neb[1][0], neb[1][1]);
+        valid[2] = x_scu > 0 && y_scu > 0 && AFF_OK(d, neb[2][0], neb[2][1]);
+        valid[3] = x_scu + scuw < W && y_scu + scuh < H
+                   && AFF_OK(d, neb[3][0], neb[3][1]);
+        valid[4] = y_scu > 0 && x_scu + scuw < W
+                   && AFF_OK(d, neb[4][0], neb[4][1]);
+    } else {
+        int tmp[5][2] = {{y_scu + scuh - 1, x_scu - 1},
+                         {y_scu - 1, x_scu + scuw - 1},
+                         {y_scu - 1, x_scu + scuw},
+                         {y_scu + scuh, x_scu - 1},
+                         {y_scu - 1, x_scu - 1}};
+        memcpy(neb, tmp, sizeof(tmp));
+        valid[0] = x_scu > 0 && AFF_OK(d, neb[0][0], neb[0][1]);
+        valid[1] = y_scu > 0 && AFF_OK(d, neb[1][0], neb[1][1]);
+        valid[2] = y_scu > 0 && x_scu + scuw < W
+                   && AFF_OK(d, neb[2][0], neb[2][1]);
+        valid[3] = x_scu > 0 && y_scu + scuh < H
+                   && AFF_OK(d, neb[3][0], neb[3][1]);
+        valid[4] = x_scu > 0 && y_scu > 0 && AFF_OK(d, neb[4][0], neb[4][1]);
+    }
+    long long top_left[5];
+    for (int k = 0; k < 5; k++) {
+        if (valid[k]) {
+            int p = neb[k][0] * W + neb[k][1];
+            top_left[k] = (long long)(neb[k][0] - d->am_yoff[p]) * W
+                          + (neb[k][1] - d->am_xoff[p]);
+        } else top_left[k] = -1;
+    }
+    if (valid[2] && valid[1] && top_left[1] == top_left[2]) valid[2] = 0;
+    if (valid[3] && valid[0] && top_left[0] == top_left[3]) valid[3] = 0;
+    if ((valid[4] && valid[0] && top_left[4] == top_left[0])
+        || (valid[4] && valid[1] && top_left[4] == top_left[1]))
+        valid[4] = 0;
+    for (int k = 0; k < 5; k++) {
+        if (valid[k]) {
+            int p = neb[k][0] * W + neb[k][1];
+            cp_num[cnt] = d->am_aff[p] == 1 ? 2 : 3;
+            for (int lidx = 0; lidx < 2; lidx++) {
+                if (d->map_refi[p * 2 + lidx] >= 0) {
+                    refi_l[cnt][lidx] = d->map_refi[p * 2 + lidx];
+                    aff_model_mv(d, y_scu, x_scu, neb[k][0], neb[k][1],
+                                 lidx, cuw, cuh, cp_num[cnt],
+                                 log2_max_cuwh, cpmv[cnt][lidx]);
+                } else {
+                    refi_l[cnt][lidx] = REFI_INVALID;
+                    memset(cpmv[cnt][lidx], 0, sizeof(cpmv[cnt][lidx]));
+                }
+            }
+            cnt++;
+        }
+        if (cnt >= AFF_MODEL_CAND) break;
+    }
+
+    /* control-point based (constructed) */
+    int cp_mv[2][VER_NUM][2];
+    int cp_refi[2][VER_NUM];
+    int cp_valid[VER_NUM] = {0, 0, 0, 0};
+    memset(cp_mv, 0, sizeof(cp_mv));
+    for (int l = 0; l < 2; l++)
+        for (int i = 0; i < VER_NUM; i++) cp_refi[l][i] = REFI_INVALID;
+
+#define PLAIN_OK(d, y, x) \
+    (COD_OK(d, y, x))   /* map_ibc not tracked yet (ibc off) */
+
+    {   /* LT */
+        int cand[3][2] = {{y_scu - 1, x_scu - 1}, {y_scu - 1, x_scu},
+                          {y_scu, x_scu - 1}};
+        int cv[3] = {x_scu > 0 && y_scu > 0 && PLAIN_OK(d, cand[0][0], cand[0][1]),
+                     y_scu > 0 && PLAIN_OK(d, cand[1][0], cand[1][1]),
+                     x_scu > 0 && PLAIN_OK(d, cand[2][0], cand[2][1])};
+        for (int k = 0; k < 3; k++) {
+            if (cv[k]) {
+                int p = cand[k][0] * W + cand[k][1];
+                for (int l = 0; l < 2; l++) {
+                    cp_refi[l][0] = d->map_refi[p * 2 + l];
+                    cp_mv[l][0][0] = d->map_mv[(p * 2 + l) * 2];
+                    cp_mv[l][0][1] = d->map_mv[(p * 2 + l) * 2 + 1];
+                }
+                cp_valid[0] = 1;
+                break;
+            }
+        }
+    }
+    {   /* RT */
+        int cand[3][2] = {{y_scu - 1, x_scu + scuw},
+                          {y_scu - 1, x_scu + scuw - 1},
+                          {y_scu, x_scu + scuw}};
+        int cv[3] = {y_scu > 0 && x_scu + scuw < W
+                     && PLAIN_OK(d, cand[0][0], cand[0][1]),
+                     y_scu > 0 && PLAIN_OK(d, cand[1][0], cand[1][1]),
+                     x_scu + scuw < W && PLAIN_OK(d, cand[2][0], cand[2][1])};
+        for (int k = 0; k < 3; k++) {
+            if (cv[k]) {
+                int p = cand[k][0] * W + cand[k][1];
+                for (int l = 0; l < 2; l++) {
+                    cp_refi[l][1] = d->map_refi[p * 2 + l];
+                    cp_mv[l][1][0] = d->map_mv[(p * 2 + l) * 2];
+                    cp_mv[l][1][1] = d->map_mv[(p * 2 + l) * 2 + 1];
+                }
+                cp_valid[1] = 1;
+                break;
+            }
+        }
+    }
+    /* LB */
+    if (avail_lr == LR_10 || avail_lr == LR_11) {
+        int cand[2][2] = {{y_scu + scuh, x_scu - 1},
+                          {y_scu + scuh - 1, x_scu - 1}};
+        int cv[2] = {x_scu > 0 && y_scu + scuh < H
+                     && PLAIN_OK(d, cand[0][0], cand[0][1]),
+                     x_scu > 0 && PLAIN_OK(d, cand[1][0], cand[1][1])};
+        for (int k = 0; k < 2; k++) {
+            if (cv[k]) {
+                int p = cand[k][0] * W + cand[k][1];
+                for (int l = 0; l < 2; l++) {
+                    cp_refi[l][2] = d->map_refi[p * 2 + l];
+                    cp_mv[l][2][0] = d->map_mv[(p * 2 + l) * 2];
+                    cp_mv[l][2][1] = d->map_mv[(p * 2 + l) * 2 + 1];
+                }
+                cp_valid[2] = 1;
+                break;
+            }
+        }
+    } else {
+        int same_row = (((y_scu + scuh) << 2) >> log2_max_cuwh)
+                       == ((y_scu << 2) >> log2_max_cuwh);
+        if (x_scu > 0 && y_scu + scuh < H && same_row) {
+            int py = ((y_scu + scuh) >> 1) << 1;
+            int px = ((x_scu - 1) >> 1) << 1;
+            int tmvp[2][2];
+            int avail = get_mv_collocated(d, py, px, y_scu, x_scu, tmvp);
+            if (avail == 1 || avail == 3) {
+                cp_refi[0][2] = 0;
+                cp_mv[0][2][0] = tmvp[0][0];
+                cp_mv[0][2][1] = tmvp[0][1];
+            } else {
+                cp_refi[0][2] = REFI_INVALID;
+                cp_mv[0][2][0] = cp_mv[0][2][1] = 0;
+            }
+            if ((avail == 2 || avail == 3) && d->slice_type == SLICE_B) {
+                cp_refi[1][2] = 0;
+                cp_mv[1][2][0] = tmvp[1][0];
+                cp_mv[1][2][1] = tmvp[1][1];
+            } else {
+                cp_refi[1][2] = REFI_INVALID;
+                cp_mv[1][2][0] = cp_mv[1][2][1] = 0;
+            }
+        }
+        if (cp_refi[0][2] >= 0 || cp_refi[1][2] >= 0) cp_valid[2] = 1;
+    }
+    /* RB */
+    if (avail_lr == LR_01 || avail_lr == LR_11) {
+        int cand[2][2] = {{y_scu + scuh, x_scu + scuw},
+                          {y_scu + scuh - 1, x_scu + scuw}};
+        int cv[2] = {x_scu + scuw < W && y_scu + scuh < H
+                     && PLAIN_OK(d, cand[0][0], cand[0][1]),
+                     x_scu + scuw < W && PLAIN_OK(d, cand[1][0], cand[1][1])};
+        for (int k = 0; k < 2; k++) {
+            if (cv[k]) {
+                int p = cand[k][0] * W + cand[k][1];
+                for (int l = 0; l < 2; l++) {
+                    cp_refi[l][3] = d->map_refi[p * 2 + l];
+                    cp_mv[l][3][0] = d->map_mv[(p * 2 + l) * 2];
+                    cp_mv[l][3][1] = d->map_mv[(p * 2 + l) * 2 + 1];
+                }
+                break;
+            }
+        }
+    } else {
+        int same_line = (((y_scu + scuh) << 2) >> log2_max_cuwh)
+                        == ((y_scu << 2) >> log2_max_cuwh);
+        if (x_scu + scuw < W && y_scu + scuh < H && same_line) {
+            int py = ((y_scu + scuh) >> 1) << 1;
+            int px = ((x_scu + scuw) >> 1) << 1;
+            int tmvp[2][2];
+            int avail = get_mv_collocated(d, py, px, y_scu, x_scu, tmvp);
+            if (avail == 1 || avail == 3) {
+                cp_refi[0][3] = 0;
+                cp_mv[0][3][0] = tmvp[0][0];
+                cp_mv[0][3][1] = tmvp[0][1];
+            } else {
+                cp_refi[0][3] = REFI_INVALID;
+                cp_mv[0][3][0] = cp_mv[0][3][1] = 0;
+            }
+            if ((avail == 2 || avail == 3) && d->slice_type == SLICE_B) {
+                cp_refi[1][3] = 0;
+                cp_mv[1][3][0] = tmvp[1][0];
+                cp_mv[1][3][1] = tmvp[1][1];
+            } else {
+                cp_refi[1][3] = REFI_INVALID;
+                cp_mv[1][3][0] = cp_mv[1][3][1] = 0;
+            }
+        }
+    }
+    if (cp_refi[0][3] >= 0 || cp_refi[1][3] >= 0) cp_valid[3] = 1;
+
+    {
+        static const int const_model[6][3] = {
+            {0, 1, 2}, {0, 1, 3}, {0, 2, 3}, {1, 2, 3}, {0, 1, 0},
+            {0, 2, 0}};
+        static const int cp_nums[6] = {3, 3, 3, 3, 2, 2};
+        for (int m = 0; m < 6 && cnt < AFF_MAX_CAND; m++)
+            cnt = aff_constructed(cuw, cuh, cp_valid, cp_mv, cp_refi,
+                                  const_model[m], m, cp_nums[m], cpmv,
+                                  refi_l, cnt, cp_num);
+    }
+    for (int k = cnt; k < AFF_MAX_CAND; k++) {
+        cp_num[k] = 2;
+        memset(cpmv[k], 0, sizeof(cpmv[k]));
+        refi_l[k][0] = 0;
+        refi_l[k][1] = d->slice_type == SLICE_B ? 0 : REFI_INVALID;
+    }
+}
+
+/* affine AMVP (ref: xevdm_get_affine_motion_scaling) */
+static void aff_amvp(DM *d, int x_scu, int y_scu, int lidx, int cur_refi,
+                     int cuw, int cuh, int vertex_num, int log2_max_cuwh,
+                     int mvp[AFF_MAX_NUM_MVP][3][2]) {
+    int W = d->w_scu, H = d->h_scu;
+    int scuw = cuw >> 2, scuh = cuh >> 2;
+    memset(mvp, 0, sizeof(int) * AFF_MAX_NUM_MVP * 3 * 2);
+    int cnt = 0;
+    /* inherited: left {A0,A1}, above {B0,B1,B2}, right {C0,C1} */
+    int grp_pos[3][3][2] = {
+        {{y_scu + scuh, x_scu - 1}, {y_scu + scuh - 1, x_scu - 1}, {0, 0}},
+        {{y_scu - 1, x_scu + scuw}, {y_scu - 1, x_scu + scuw - 1},
+         {y_scu - 1, x_scu - 1}},
+        {{y_scu + scuh, x_scu + scuw}, {y_scu + scuh - 1, x_scu + scuw},
+         {0, 0}}};
+    int grp_cond[3][3] = {
+        {x_scu > 0 && y_scu + scuh < H, x_scu > 0, 0},
+        {y_scu > 0 && x_scu + scuw < W, y_scu > 0, x_scu > 0 && y_scu > 0},
+        {x_scu + scuw < W && y_scu + scuh < H, x_scu + scuw < W, 0}};
+    int grp_n[3] = {2, 3, 2};
+    for (int g = 0; g < 3; g++) {
+        for (int k = 0; k < grp_n[g]; k++) {
+            int py = grp_pos[g][k][0], px = grp_pos[g][k][1];
+            if (grp_cond[g][k] && AFF_OK(d, py, px)
+                && d->map_refi[(py * W + px) * 2 + lidx] == cur_refi) {
+                aff_model_mv(d, y_scu, x_scu, py, px, lidx, cuw, cuh,
+                             vertex_num, log2_max_cuwh, mvp[cnt]);
+                cnt++;
+                break;
+            }
+        }
+        if (cnt >= AFF_MAX_NUM_MVP) return;
+    }
+    /* corner translation candidates */
+    int have[4] = {0, 0, 0, 0};     /* lt, rt, lb, rb */
+    int cmv[4][2];
+    {
+        int cand[4][3][2] = {
+            {{y_scu - 1, x_scu - 1}, {y_scu - 1, x_scu}, {y_scu, x_scu - 1}},
+            {{y_scu - 1, x_scu + scuw}, {y_scu - 1, x_scu + scuw - 1},
+             {y_scu, x_scu + scuw}},
+            {{y_scu + scuh, x_scu - 1}, {y_scu + scuh - 1, x_scu - 1},
+             {0, 0}},
+            {{y_scu + scuh, x_scu + scuw}, {y_scu + scuh - 1, x_scu + scuw},
+             {0, 0}}};
+        int cond[4][3] = {
+            {x_scu > 0 && y_scu > 0, y_scu > 0, x_scu > 0},
+            {y_scu > 0 && x_scu + scuw < W, y_scu > 0, x_scu + scuw < W},
+            {x_scu > 0 && y_scu + scuh < H, x_scu > 0, 0},
+            {x_scu + scuw < W && y_scu + scuh < H, x_scu + scuw < W, 0}};
+        int nn[4] = {3, 3, 2, 2};
+        for (int c = 0; c < 4; c++) {
+            for (int k = 0; k < nn[c]; k++) {
+                int py = cand[c][k][0], px = cand[c][k][1];
+                if (cond[c][k] && PLAIN_OK(d, py, px)
+                    && d->map_refi[(py * W + px) * 2 + lidx] >= 0) {
+                    if (d->map_refi[(py * W + px) * 2 + lidx] == cur_refi) {
+                        have[c] = 1;
+                        cmv[c][0] = d->map_mv[((py * W + px) * 2
+                                               + lidx) * 2];
+                        cmv[c][1] = d->map_mv[((py * W + px) * 2
+                                               + lidx) * 2 + 1];
+                        break;
+                    }
+                }
+            }
+        }
+    }
+    if (have[0] && have[1] && (vertex_num == 2 || have[2] || have[3])) {
+        mvp[cnt][0][0] = cmv[0][0]; mvp[cnt][0][1] = cmv[0][1];
+        mvp[cnt][1][0] = cmv[1][0]; mvp[cnt][1][1] = cmv[1][1];
+        if (have[2]) {
+            mvp[cnt][2][0] = cmv[2][0]; mvp[cnt][2][1] = cmv[2][1];
+        } else if (have[3]) {
+            mvp[cnt][2][0] = s16c(cmv[3][0] + cmv[0][0] - cmv[1][0]);
+            mvp[cnt][2][1] = s16c(cmv[3][1] + cmv[0][1] - cmv[1][1]);
+        } else {
+            mvp[cnt][2][0] = mvp[cnt][2][1] = 0;
+        }
+        cnt++;
+    }
+    if (cnt == AFF_MAX_NUM_MVP) return;
+    if (have[2]) {
+        for (int i = 0; i < 3; i++) {
+            mvp[cnt][i][0] = cmv[2][0]; mvp[cnt][i][1] = cmv[2][1];
+        }
+        cnt++;
+    } else if (have[3]) {
+        for (int i = 0; i < 3; i++) {
+            mvp[cnt][i][0] = cmv[3][0]; mvp[cnt][i][1] = cmv[3][1];
+        }
+        cnt++;
+    }
+    if (cnt == AFF_MAX_NUM_MVP) return;
+    if (have[1]) {
+        for (int i = 0; i < 3; i++) {
+            mvp[cnt][i][0] = cmv[1][0]; mvp[cnt][i][1] = cmv[1][1];
+        }
+        cnt++;
+    }
+    if (cnt == AFF_MAX_NUM_MVP) return;
+    if (have[0]) {
+        for (int i = 0; i < 3; i++) {
+            mvp[cnt][i][0] = cmv[0][0]; mvp[cnt][i][1] = cmv[0][1];
+        }
+        cnt++;
+    }
+    /* remaining slots stay zero */
+}
+
+/* EIF applicability / sub-block size (ref: xevdm_util.c:1870-2149) */
+#define AFFINE_ADAPT_EIF_SIZE 8
+#define EIF_SUBBLOCK_SIZE 4
+#define EIF_FETCH_LINES 3
+#define MAX_MEMORY_ACCESS_BI 72
+#define AFF_MAX_CU_LOG2 7
+
+static int aff_eif_uni(const int ac_mv[VER_NUM][2], int cuw, int cuh,
+                       int vertex_num, int *mem_band_ok) {
+    int prec_add = AFF_MAX_CU_LOG2;
+    int mv_precision = 2 + prec_add;
+    int d_hor[2], d_ver[2];
+    aff_model_params(ac_mv, cuw, cuh, vertex_num, prec_add, d_hor, d_ver);
+    /* bounding box at EIF_SUBBLOCK_SIZE */
+    long long cx[4], cy[4];
+    int w = EIF_SUBBLOCK_SIZE, h = EIF_SUBBLOCK_SIZE;
+    cx[0] = 0;
+    cx[1] = (long long)(w + 1) * (d_hor[0] + (1 << mv_precision));
+    cx[2] = (long long)(h + 1) * d_ver[0];
+    cx[3] = cx[1] + cx[2] - cx[0];
+    cy[0] = 0;
+    cy[1] = (long long)(w + 1) * d_hor[1];
+    cy[2] = (long long)(h + 1) * (d_ver[1] + (1 << mv_precision));
+    cy[3] = cy[1] + cy[2] - cy[0];
+    long long mxx = cx[0], mnx = cx[0], mxy = cy[0], mny = cy[0];
+    for (int i = 1; i < 4; i++) {
+        if (cx[i] > mxx) mxx = cx[i];
+        if (cx[i] < mnx) mnx = cx[i];
+        if (cy[i] > mxy) mxy = cy[i];
+        if (cy[i] < mny) mny = cy[i];
+    }
+    long long bw = ((mxx - mnx + (1 << mv_precision) - 1) >> mv_precision)
+                   + 2;
+    long long bh = ((mxy - mny + (1 << mv_precision) - 1) >> mv_precision)
+                   + 2;
+    *mem_band_ok = bw * bh <= MAX_MEMORY_ACCESS_BI;
+    if (d_ver[1] < -(1 << mv_precision)) return 0;
+    long long lhs = (long long)((d_ver[1] > 0 ? d_ver[1] : 0)
+                                + (d_hor[1] < 0 ? -d_hor[1] : d_hor[1]))
+                    * (1 + EIF_SUBBLOCK_SIZE);
+    if (lhs > (long long)(EIF_FETCH_LINES - 2) << mv_precision) return 0;
+    return 1;
+}
+
+static void aff_subblock_wh(const int ac_mv[VER_NUM][2], int cuw, int cuh,
+                            int vertex_num, int *ow, int *oh) {
+    int d_hor[2], d_ver[2];
+    aff_model_params(ac_mv, cuw, cuh, vertex_num, 7, d_hor, d_ver);
+    int wx = d_hor[0] < 0 ? -d_hor[0] : d_hor[0];
+    int t = d_hor[1] < 0 ? -d_hor[1] : d_hor[1];
+    if (t > wx) wx = t;
+    int wy = d_ver[0] < 0 ? -d_ver[0] : d_ver[0];
+    t = d_ver[1] < 0 ? -d_ver[1] : d_ver[1];
+    if (t > wy) wy = t;
+    static const int sub_lut[4] = {32, 16, 8, 8};
+    *ow = wx > 4 ? 4 : (wx == 0 ? cuw : sub_lut[wx - 1]);
+    *oh = wy > 4 ? 4 : (wy == 0 ? cuh : sub_lut[wy - 1]);
+}
+
+static void aff_subblock_bi(const int ac_mv2[2][VER_NUM][2],
+                            const int refi[2], int cuw, int cuh,
+                            int vertex_num, int *ow, int *oh,
+                            int *mem_band_ok) {
+    int sw = cuw, sh = cuh;
+    for (int l = 0; l < 2; l++) {
+        if (refi[l] >= 0) {
+            int w, h;
+            aff_subblock_wh(ac_mv2[l], cuw, cuh, vertex_num, &w, &h);
+            if (w < sw) sw = w;
+            if (h < sh) sh = h;
+        }
+    }
+    int mb = 1, ok = 1;
+    for (int l = 0; l < 2; l++) {
+        if (refi[l] >= 0) {
+            int mbl;
+            int okl = aff_eif_uni(ac_mv2[l], cuw, cuh, vertex_num, &mbl);
+            mb = mb && mbl;
+            if (!okl) { ok = 0; break; }
+        }
+    }
+    if (!ok) {
+        if (sw < AFFINE_ADAPT_EIF_SIZE) sw = AFFINE_ADAPT_EIF_SIZE;
+        if (sh < AFFINE_ADAPT_EIF_SIZE) sh = AFFINE_ADAPT_EIF_SIZE;
+    }
+    *ow = sw;
+    *oh = sh;
+    *mem_band_ok = mb;
+}
+
+/* sub-block motion field write-back (ref: xevdm_set_affine_mvf) */
+static void aff_set_mvf(DM *d, int x_scu, int y_scu, int log2w, int log2h,
+                        const int refi[2], const int ac_mv2[2][VER_NUM][2],
+                        int vertex_num) {
+    int W = d->w_scu;
+    int w_cu = (1 << log2w) >> 2, h_cu = (1 << log2h) >> 2;
+    int sub_w, sub_h, mb;
+    aff_subblock_bi(ac_mv2, refi, 1 << log2w, 1 << log2h, vertex_num,
+                    &sub_w, &sub_h, &mb);
+    int sws = sub_w >> 2, shs = sub_h >> 2;
+    int half_w = sub_w >> 1, half_h = sub_h >> 1;
+    for (int lidx = 0; lidx < 2; lidx++) {
+        if (refi[lidx] < 0) continue;
+        const int (*ac_mv)[2] = ac_mv2[lidx];
+        int dhx = (ac_mv[1][0] - ac_mv[0][0]) << (7 - log2w);
+        int dhy = (ac_mv[1][1] - ac_mv[0][1]) << (7 - log2w);
+        int dvx, dvy;
+        if (vertex_num == 3) {
+            dvx = (ac_mv[2][0] - ac_mv[0][0]) << (7 - log2h);
+            dvy = (ac_mv[2][1] - ac_mv[0][1]) << (7 - log2h);
+        } else {
+            dvx = -dhy;
+            dvy = dhx;
+        }
+        long long msh = (long long)ac_mv[0][0] << 7;
+        long long msv = (long long)ac_mv[0][1] << 7;
+        for (int h = 0; h < h_cu; h += shs) {
+            for (int w = 0; w < w_cu; w += sws) {
+                int th, tv;
+                if (w == 0 && h == 0) {
+                    th = ac_mv[0][0]; tv = ac_mv[0][1];
+                } else if (w + sws == w_cu && h == 0) {
+                    th = ac_mv[1][0]; tv = ac_mv[1][1];
+                } else if (w == 0 && h + shs == h_cu && vertex_num == 3) {
+                    th = ac_mv[2][0]; tv = ac_mv[2][1];
+                } else {
+                    int pos_x = (w << 2) + half_w;
+                    int pos_y = (h << 2) + half_h;
+                    long long hh = msh + (long long)dhx * pos_x
+                                   + (long long)dvx * pos_y;
+                    long long vv = msv + (long long)dhy * pos_x
+                                   + (long long)dvy * pos_y;
+                    aff_mv_rounding(hh, vv, 5, &th, &tv);
+                    if (th < -(1 << 17)) th = -(1 << 17);
+                    if (th > (1 << 17) - 1) th = (1 << 17) - 1;
+                    if (tv < -(1 << 17)) tv = -(1 << 17);
+                    if (tv > (1 << 17) - 1) tv = (1 << 17) - 1;
+                    th >>= 2;
+                    tv >>= 2;
+                }
+                for (int yy = h; yy < h + shs; yy++)
+                    for (int xx = w; xx < w + sws; xx++) {
+                        int p = (y_scu + yy) * W + x_scu + xx;
+                        d->map_mv[(p * 2 + lidx) * 2] = (int16_t)th;
+                        d->map_mv[(p * 2 + lidx) * 2 + 1] = (int16_t)tv;
+                    }
+            }
+        }
+    }
+    for (int yy = 0; yy < h_cu; yy++)
+        for (int xx = 0; xx < w_cu; xx++) {
+            int p = (y_scu + yy) * W + x_scu + xx;
+            d->map_refi[p * 2] = (int8_t)refi[0];
+            d->map_refi[p * 2 + 1] = (int8_t)refi[1];
+        }
+}
+
+/* HMVP center MV (ref: src_main/xevdm.c:657-800) */
+static int aff_center_mv(const int ac_mv2[2][VER_NUM][2],
+                         const int refi[2], int log2w, int log2h,
+                         int vertex_num, int refi_sp[2], int mv_sp[2][2]) {
+    refi_sp[0] = refi_sp[1] = REFI_INVALID;
+    mv_sp[0][0] = mv_sp[0][1] = mv_sp[1][0] = mv_sp[1][1] = 0;
+    for (int lidx = 0; lidx < 2; lidx++) {
+        if (refi[lidx] < 0) continue;
+        const int (*ac_mv)[2] = ac_mv2[lidx];
+        int dhx = (ac_mv[1][0] - ac_mv[0][0]) << (7 - log2w);
+        int dhy = (ac_mv[1][1] - ac_mv[0][1]) << (7 - log2w);
+        int dvx, dvy;
+        if (vertex_num == 3) {
+            dvx = (ac_mv[2][0] - ac_mv[0][0]) << (7 - log2h);
+            dvy = (ac_mv[2][1] - ac_mv[0][1]) << (7 - log2h);
+        } else {
+            dvx = -dhy;
+            dvy = dhx;
+        }
+        int pos_x = 1 << (log2w - 1), pos_y = 1 << (log2h - 1);
+        long long th = ((long long)ac_mv[0][0] << 7)
+                       + (long long)dhx * pos_x + (long long)dvx * pos_y;
+        long long tv = ((long long)ac_mv[0][1] << 7)
+                       + (long long)dhy * pos_x + (long long)dvy * pos_y;
+        int h, v;
+        aff_mv_rounding(th, tv, 7, &h, &v);
+        if (h < -(1 << 15)) h = -(1 << 15);
+        if (h > (1 << 15) - 1) h = (1 << 15) - 1;
+        if (v < -(1 << 15)) v = -(1 << 15);
+        if (v > (1 << 15) - 1) v = (1 << 15) - 1;
+        mv_sp[lidx][0] = h;
+        mv_sp[lidx][1] = v;
+        refi_sp[lidx] = refi[lidx];
+    }
+    return refi_sp[0] >= 0 || refi_sp[1] >= 0;
+}
+
 /* full Main derive pass; returns 0 */
 int evc_main_derive(
     const int32_t *params, int n_cus, const int32_t *cu,
@@ -824,7 +1558,8 @@ int evc_main_derive(
     int16_t *map_mv, int8_t *map_refi,
     int64_t *nbr_up, int64_t *nbr_left, uint8_t *nbr_corner,
     int64_t *nbr_upext, int64_t *nbr_right, uint8_t *avail_lr_out,
-    int32_t *htdf_idx, int32_t *htdf_avail)
+    int32_t *htdf_idx, int32_t *htdf_avail,
+    int32_t *cu_aff_flag, int32_t *cu_aff_mv)
 {
     DM d;
     memset(&d, 0, sizeof(d));
@@ -853,6 +1588,15 @@ int evc_main_derive(
     size_t n_scu = (size_t)W * H;
     d.cod = (uint8_t *)calloc(n_scu, 1);
     if (!d.cod) return -1;
+    d.am_aff = (uint8_t *)calloc(n_scu, 3);
+    d.am_xoff = (uint16_t *)calloc(n_scu, 2 * sizeof(uint16_t));
+    if (!d.am_aff || !d.am_xoff) {
+        free(d.cod); free(d.am_aff); free(d.am_xoff);
+        return -1;
+    }
+    d.am_logw = d.am_aff + n_scu;
+    d.am_logh = d.am_aff + 2 * n_scu;
+    d.am_yoff = d.am_xoff + n_scu;
     memset(map_mv, 0, n_scu * 4 * sizeof(int16_t));
     memset(map_refi, -1, n_scu * 2);
 
@@ -881,6 +1625,9 @@ int evc_main_derive(
         cu_mv[i * 4] = cu_mv[i * 4 + 1] = cu_mv[i * 4 + 2] =
             cu_mv[i * 4 + 3] = 0;
         cu_refi[i * 2] = cu_refi[i * 2 + 1] = REFI_INVALID;
+        cu_aff_flag[i] = 0;
+        memset(cu_aff_mv + i * 12, 0, 12 * sizeof(int32_t));
+        int aff_parsed = r[M_AFF_FLAG];
 
         if (pm == MODE_INTRA) {
             /* (ref: src_base/xevd_ipred.c:33-93, xevd_util.c:689-745,
@@ -944,7 +1691,52 @@ int evc_main_derive(
             int refi_parsed[2] = {r[M_REFI0], r[M_REFI1]};
             int mvp_idx[2] = {r[M_MVP0], r[M_MVP1]};
 
-            if (use_admvp && (pm == MODE_SKIP || pm == MODE_DIR)) {
+            int aff_vertex = 0;
+            int ac_mv2[2][VER_NUM][2];
+            memset(ac_mv2, 0, sizeof(ac_mv2));
+            if (aff_parsed && (pm == MODE_SKIP || pm == MODE_DIR)) {
+                /* affine merge (ref: src_main/xevdm.c:946-977) */
+                int lr = dm_avail_lr(&d, x_scu, y_scu, scuw);
+                int refi_l[AFF_MAX_CAND][2];
+                int cpmv[AFF_MAX_CAND][2][3][2];
+                int cp_num[AFF_MAX_CAND];
+                aff_merge_candidates(&d, x_scu, y_scu, cuw, cuh, lr,
+                                     log2_ctu, refi_l, cpmv, cp_num);
+                int mrg = mvp_idx[0];
+                aff_vertex = cp_num[mrg];
+                refi[0] = refi_l[mrg][0];
+                refi[1] = refi_l[mrg][1];
+                for (int l = 0; l < 2; l++) {
+                    if (refi[l] >= 0)
+                        for (int v = 0; v < 3; v++) {
+                            ac_mv2[l][v][0] = cpmv[mrg][l][v][0];
+                            ac_mv2[l][v][1] = cpmv[mrg][l][v][1];
+                        }
+                }
+            } else if (aff_parsed && pm == MODE_INTER) {
+                /* affine AMVP (ref: src_main/xevdm.c:978-1021) */
+                aff_vertex = aff_parsed + 1;
+                for (int lidx = 0; lidx < 2; lidx++) {
+                    if (((inter_dir + 1) >> lidx) & 1) {
+                        refi[lidx] = refi_parsed[lidx];
+                        int mvp_a[AFF_MAX_NUM_MVP][3][2];
+                        aff_amvp(&d, x_scu, y_scu, lidx, refi[lidx], cuw,
+                                 cuh, aff_vertex, log2_ctu, mvp_a);
+                        const int (*mp)[2] = mvp_a[mvp_idx[lidx]];
+                        for (int v = 0; v < aff_vertex; v++) {
+                            int m0x = v > 0 ? r[M_AFF_MVD + lidx * 6] : 0;
+                            int m0y = v > 0 ? r[M_AFF_MVD + lidx * 6 + 1]
+                                            : 0;
+                            ac_mv2[lidx][v][0] = s16w(
+                                mp[v][0] + m0x
+                                + r[M_AFF_MVD + (lidx * 3 + v) * 2]);
+                            ac_mv2[lidx][v][1] = s16w(
+                                mp[v][1] + m0y
+                                + r[M_AFF_MVD + (lidx * 3 + v) * 2 + 1]);
+                        }
+                    }
+                }
+            } else if (use_admvp && (pm == MODE_SKIP || pm == MODE_DIR)) {
                 int lr = dm_avail_lr(&d, x_scu, y_scu, scuw);
                 if (r[M_MMVD_FLAG]) {
                     get_mmvd_motion(&d, r[M_MMVD_IDX], x_scu, y_scu, cuw,
@@ -1065,6 +1857,30 @@ int evc_main_derive(
                 }
             }
 
+            if (aff_vertex) {
+                aff_set_mvf(&d, x_scu, y_scu, r[M_LOG2W], r[M_LOG2H],
+                            refi, (const int (*)[VER_NUM][2])ac_mv2,
+                            aff_vertex);
+                if (hmvp) {
+                    int refi_sp[2], mv_sp[2][2];
+                    int any = aff_center_mv(
+                        (const int (*)[VER_NUM][2])ac_mv2, refi,
+                        r[M_LOG2W], r[M_LOG2H], aff_vertex, refi_sp,
+                        mv_sp);
+                    hist_update_v(&d, refi_sp,
+                                  (const int (*)[2])mv_sp, any);
+                }
+                cu_aff_flag[i] = aff_vertex - 1;
+                for (int l = 0; l < 2; l++)
+                    for (int v = 0; v < 3; v++) {
+                        cu_aff_mv[i * 12 + (l * 3 + v) * 2] =
+                            ac_mv2[l][v][0];
+                        cu_aff_mv[i * 12 + (l * 3 + v) * 2 + 1] =
+                            ac_mv2[l][v][1];
+                    }
+                cu_refi[i * 2] = refi[0];
+                cu_refi[i * 2 + 1] = refi[1];
+            } else {
             if (hmvp) hist_update(&d, refi, (const int (*)[2])mv);
 
             cu_mv[i * 4] = mv[0][0];
@@ -1085,6 +1901,20 @@ int evc_main_derive(
                     mm[3] = (int16_t)mv[1][1];
                 }
             }
+            }
+            /* affine-geometry maps: set for affine CUs, cleared otherwise */
+            for (int j = 0; j < scuh; j++)
+                for (int ii = 0; ii < scuw; ii++) {
+                    int p = (y_scu + j) * W + x_scu + ii;
+                    d.am_aff[p] = (uint8_t)(aff_vertex ? aff_vertex - 1
+                                                       : 0);
+                    if (aff_vertex) {
+                        d.am_logw[p] = (uint8_t)r[M_LOG2W];
+                        d.am_logh[p] = (uint8_t)r[M_LOG2H];
+                        d.am_xoff[p] = (uint16_t)ii;
+                        d.am_yoff[p] = (uint16_t)j;
+                    }
+                }
         }
 
         htdf_idx[i] = -1;
@@ -1125,5 +1955,8 @@ int evc_main_derive(
             memset(d.cod + (y_scu + j) * W + x_scu, 1, scuw);
     }
     free(d.cod);
+    free(d.am_aff);
+    free(d.am_xoff);
     return 0;
 }
+

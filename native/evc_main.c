@@ -313,7 +313,7 @@ enum {
     P_BTT, P_SUCO, P_SUCO_MAX_DEPTH, P_SUCO_DEPTH, P_LOG2_MIN_CB,
     P_ADMVP, P_EIPD, P_CM_INIT, P_ADCC, P_ATS, P_AMVR, P_MMVD,
     P_MMVD_GROUP_ENABLE, P_ALF_CTB_BINS, P_IBC_FLAG, P_IBC_LOG_MAX,
-    P_CONSTRAINED_IPRED,
+    P_CONSTRAINED_IPRED, P_AFFINE,
     /* split_tbl[4][2]: (max, min) long-side log2 per aspect-ratio class */
     P_SPLIT_TBL,           /* 8 entries */
     NUM_PARAMS = P_SPLIT_TBL + 8
@@ -326,7 +326,10 @@ enum {
     M_REFI0, M_REFI1, M_MVP0, M_MVP1,
     M_MVD0X, M_MVD0Y, M_MVD1X, M_MVD1Y,
     M_INTER_DIR, M_TREE, M_MVR_IDX, M_BI_IDX, M_MMVD_FLAG, M_MMVD_IDX,
-    M_ATS_CU, M_ATS_MODE, M_ATS_INTER, MAIN_CU_FIELDS
+    M_ATS_CU, M_ATS_MODE, M_ATS_INTER,
+    M_AFF_FLAG,                      /* 0 off / 1 four-param / 2 six */
+    M_AFF_MVD,                       /* [2][3][2] CPMV mvds, 12 ints */
+    MAIN_CU_FIELDS = M_AFF_MVD + 12
 };
 
 typedef struct {
@@ -336,7 +339,7 @@ typedef struct {
     int slice_type, qp;
     int cw_shift, ch_shift;
     int chroma_stride;
-    int cm_init, admvp, eipd, adcc, ats;
+    int cm_init, admvp, eipd, adcc, ats, affine;
     const int32_t *chroma_qp_tbl_u;
     const int32_t *chroma_qp_tbl_v;
     /* outputs */
@@ -351,7 +354,7 @@ typedef struct {
     uint8_t *edge_hor, *edge_ver, *edge_hor_c, *edge_ver_c;
     uint8_t *alf_ctu_on;
     /* internal per-SCU state */
-    uint8_t *cod_eco, *map_logw, *map_logh;
+    uint8_t *cod_eco, *map_logw, *map_logh, *map_aff_eco;
     int n_cus;
     int qp_prev_eco;
     int err;
@@ -571,13 +574,15 @@ static CtxFlags ctx_flags(MDec *d, int x_scu, int y_scu, int cuw, int cuh) {
     if (x_scu + scuw < W && d->cod_eco[yb * W + x_scu + scuw])
         nbr[nn++] = yb * W + x_scu + scuw;
     if (!nn || !d->cm_init) return out;
-    int cs = 0, cp = 0;
+    int cs = 0, cp = 0, ca = 0;
     for (int i = 0; i < nn; i++) {
         cs += d->map_skip[nbr[i]];
         cp += d->map_if[nbr[i]];
+        if (d->slice_type != SLICE_I) ca += d->map_aff_eco[nbr[i]];
     }
     out.skip = cs < N_CTX_SKIP_FLAG - 1 ? cs : N_CTX_SKIP_FLAG - 1;
     out.pred = cp < N_CTX_PRED_MODE - 1 ? cp : N_CTX_PRED_MODE - 1;
+    out.affine = ca < N_CTX_AFFINE_FLAG - 1 ? ca : N_CTX_AFFINE_FLAG - 1;
     /* mode_cons neighbor info is never filled in the reference → ctx 0;
        affine/ibc counts land with those tools */
     return out;
@@ -1481,8 +1486,11 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
     int check_luma = tree_type != TREE_C;
     int check_chroma = tree_type != TREE_L;
     int mvr_idx = 0, bi_idx = 0, mmvd_flag = 0, mmvd_idx = 0;
+    int aff_flag = 0;
+    int aff_mvd[2][3][2];
     int qp;
     AtsInfo ats = {0, 0, 0};
+    memset(aff_mvd, 0, sizeof(aff_mvd));
 
     CtxFlags cf = ctx_flags(d, x_scu, y_scu, cuw, cuh);
 
@@ -1501,8 +1509,15 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
             if (mmvd_flag) {
                 mmvd_idx = read_mmvd_data(d, log2_cuw, log2_cuh);
             } else {
-                mvp_idx0 = (int)sbac_tu(s, MCTX_MERGE_IDX, 5, 6);
-                mvp_idx1 = mvp_idx0;
+                if (d->affine && cuw >= 8 && cuh >= 8)
+                    aff_flag = (int)sbac_bin(s, MCTX_AFFINE_FLAG
+                                                + cf.affine);
+                if (aff_flag) {
+                    mvp_idx0 = (int)sbac_tu(s, MCTX_AFFINE_MRG, 5, 5);
+                } else {
+                    mvp_idx0 = (int)sbac_tu(s, MCTX_MERGE_IDX, 5, 6);
+                    mvp_idx1 = mvp_idx0;
+                }
             }
         }
         qp = d->p[P_DQP_ENABLED] ? d->qp_prev_eco : d->qp;
@@ -1531,8 +1546,15 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
                 if (mmvd_flag) {
                     mmvd_idx = read_mmvd_data(d, log2_cuw, log2_cuh);
                 } else {
-                    mvp_idx0 = (int)sbac_tu(s, MCTX_MERGE_IDX, 5, 6);
-                    mvp_idx1 = mvp_idx0;
+                    if (d->affine && cuw >= 8 && cuh >= 8)
+                        aff_flag = (int)sbac_bin(s, MCTX_AFFINE_FLAG
+                                                    + cf.affine);
+                    if (aff_flag) {
+                        mvp_idx0 = (int)sbac_tu(s, MCTX_AFFINE_MRG, 5, 5);
+                    } else {
+                        mvp_idx0 = (int)sbac_tu(s, MCTX_MERGE_IDX, 5, 6);
+                        mvp_idx1 = mvp_idx0;
+                    }
                 }
                 pred_mode = MODE_DIR;
             } else if (inter_dir != PRED_DIR) {
@@ -1540,7 +1562,30 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
                     inter_dir = read_inter_pred_idc(d, cuw, cuh, d->admvp);
                 else
                     inter_dir = PRED_L0;
-                if (!d->admvp) {
+                if (d->affine && cuw >= 16 && cuh >= 16 && mvr_idx == 0)
+                    aff_flag = (int)sbac_bin(s, MCTX_AFFINE_FLAG
+                                                + cf.affine);
+                if (aff_flag) {
+                    /* affine AMVP (ref: xevdm_eco.c:1649-1694) */
+                    aff_flag += (int)sbac_bin(s, MCTX_AFFINE_MODE);
+                    for (int lidx = 0; lidx < 2; lidx++) {
+                        if (((inter_dir + 1) >> lidx) & 1) {
+                            int nr = lidx == 0 ? d->p[P_NUM_REFP0]
+                                               : d->p[P_NUM_REFP1];
+                            int r = read_refi(d, nr);
+                            int mi = (int)sbac_tu(s, MCTX_AFFINE_MVP_IDX,
+                                                  1, 2);
+                            if (lidx == 0) { refi0 = r; mvp_idx0 = mi; }
+                            else { refi1 = r; mvp_idx1 = mi; }
+                            int bzero = (int)sbac_bin(
+                                s, MCTX_AFFINE_MVD_FLAG + lidx);
+                            for (int v = 0; v < aff_flag + 1; v++) {
+                                if (!bzero)
+                                    read_mvd(d, aff_mvd[lidx][v]);
+                            }
+                        }
+                    }
+                } else if (!d->admvp) {
                     for (int lidx = 0; lidx < 2; lidx++) {
                         if (((inter_dir + 1) >> lidx) & 1) {
                             int nr = lidx == 0 ? d->p[P_NUM_REFP0]
@@ -1621,6 +1666,12 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
     rec[M_ATS_CU] = ats.ats_cu;
     rec[M_ATS_MODE] = ats.ats_mode;
     rec[M_ATS_INTER] = ats.ats_inter;
+    rec[M_AFF_FLAG] = aff_flag;
+    for (int l = 0; l < 2; l++)
+        for (int v = 0; v < 3; v++) {
+            rec[M_AFF_MVD + (l * 3 + v) * 2] = aff_mvd[l][v][0];
+            rec[M_AFF_MVD + (l * 3 + v) * 2 + 1] = aff_mvd[l][v][1];
+        }
     d->n_cus++;
 
     /* chroma CU-boundary edges: units that carry chroma (tree != TREE_L) */
@@ -1645,6 +1696,7 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
             d->cod_eco[row + i] = 1;
             d->map_logw[row + i] = (uint8_t)log2_cuw;
             d->map_logh[row + i] = (uint8_t)log2_cuh;
+            d->map_aff_eco[row + i] = (uint8_t)aff_flag;
         }
     }
     /* cbf-luma map: ATS-inter marks the coded sub-TU only
@@ -1865,6 +1917,7 @@ int evc_main_decode_slice(
     d.eipd = params[P_EIPD];
     d.adcc = params[P_ADCC];
     d.ats = params[P_ATS];
+    d.affine = params[P_AFFINE];
     d.chroma_qp_tbl_u = chroma_qp_tbl_u;
     d.chroma_qp_tbl_v = chroma_qp_tbl_v;
     d.coef_y = coef_y; d.coef_u = coef_u; d.coef_v = coef_v;
@@ -1878,12 +1931,13 @@ int evc_main_decode_slice(
     d.err = 0;
 
     size_t n_scu = (size_t)d.w_scu * d.h_scu;
-    uint8_t *scratch = (uint8_t *)malloc(n_scu * 3);
+    uint8_t *scratch = (uint8_t *)malloc(n_scu * 4);
     if (!scratch) return -4;
     d.cod_eco = scratch;
     d.map_logw = scratch + n_scu;
     d.map_logh = scratch + 2 * n_scu;
-    memset(scratch, 0, n_scu * 3);
+    d.map_aff_eco = scratch + 3 * n_scu;
+    memset(scratch, 0, n_scu * 4);
     memset(map_ipm, -1, n_scu);
 
     bsr_init(&d.bs, payload, payload_size);

@@ -668,9 +668,7 @@ class Decoder:
                     refp=refp, poc=self.poc.poc_val)
             job = job_from_native(fs, sps, sh, self.chroma_qp_tbl,
                                   native_job)
-        elif self.use_native_entropy and sps.is_main \
-                and not sps.tool_affine:
-            # (affine parses on the Python engine until the C port lands)
+        elif self.use_native_entropy and sps.is_main:
             from .native import decode_slice_native_main
             payload = bytes(bs.buf[bs.bytes_read():])
             if self._pipeline_on:

@@ -251,7 +251,7 @@ def deblock_strengths_native(fs, sps, sh, tbl_u, tbl_v, map_refi, map_mv):
 # ---------------------------------------------------------------------------
 # Main-profile native entropy (native/evc_main.c)
 # ---------------------------------------------------------------------------
-MAIN_CU_FIELDS = 30
+MAIN_CU_FIELDS = 43
 
 _SCRATCH_MAIN = {}
 
@@ -326,7 +326,7 @@ def decode_slice_native_main(payload: bytes, sps, pps, sh, num_refp,
         sps.tool_ats, sps.tool_amvr, sps.tool_mmvd,
         getattr(sh, "mmvd_group_enable_flag", 0), int(alf_ctb_bins),
         sps.ibc_flag, getattr(sps, "ibc_log_max_size", 0),
-        pps.constrained_intra_pred_flag,
+        pps.constrained_intra_pred_flag, sps.tool_affine,
     ] + split_flat, dtype=np.int32)
 
     tbl_u = np.ascontiguousarray(chroma_qp_tbl[0], np.int32)
@@ -379,6 +379,8 @@ def decode_slice_native_main(payload: bytes, sps, pps, sh, num_refp,
     fs.cu_mmvd_flag = cu[:, 25]
     fs.cu_mmvd_idx = cu[:, 26]
     fs.cu_ats = cu[:, 27:30]
+    fs.cu_aff = cu[:, 30]
+    fs.cu_aff_mvd = cu[:, 31:43].reshape(-1, 2, 3, 2)
     fs.map_if = s["map_if"]
     fs.map_qp = s["map_qp"]
     fs.map_cbfl = s["map_cbfl"]
@@ -486,6 +488,8 @@ def derive_frame_native_main(fs, sps, pps, sh, refp, poc, chroma_qp_tbl,
 
     cu_mv = np.zeros((n, 2, 2), np.int32)
     cu_refi = np.zeros((n, 2), np.int32)
+    cu_aff_flag = np.zeros(n, np.int32)
+    cu_aff_mv = np.zeros((n, 2, 3, 2), np.int32)
     map_mv = np.zeros((h_scu, w_scu, 2, 2), np.int16)
     map_refi = np.zeros((h_scu, w_scu, 2), np.int8)
     nbr_up = np.zeros(n, np.int64)
@@ -510,7 +514,8 @@ def derive_frame_native_main(fs, sps, pps, sh, refp, poc, chroma_qp_tbl,
         ptr(nbr_corner, ctypes.c_uint8),
         ptr(nbr_upext, ctypes.c_int64), ptr(nbr_right, ctypes.c_int64),
         ptr(avail_lr, ctypes.c_uint8),
-        ptr(htdf_idx, ctypes.c_int32), ptr(htdf_avail, ctypes.c_int32))
+        ptr(htdf_idx, ctypes.c_int32), ptr(htdf_avail, ctypes.c_int32),
+        ptr(cu_aff_flag, ctypes.c_int32), ptr(cu_aff_mv, ctypes.c_int32))
     if rc != 0:
         raise ValueError(f"native Main derive failed: {rc}")
 
@@ -528,6 +533,8 @@ def derive_frame_native_main(fs, sps, pps, sh, refp, poc, chroma_qp_tbl,
     job.cu_avail_lr = avail_lr
     job.cu_htdf_idx = htdf_idx
     job.cu_htdf_avail = htdf_avail
+    job.cu_aff_flag = cu_aff_flag
+    job.cu_aff_mv = cu_aff_mv
 
     if sh.deblocking_filter_on:
         if is_main and sps.tool_addb:

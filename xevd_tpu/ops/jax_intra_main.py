@@ -436,3 +436,212 @@ def intra_scan_main(planes, resids, cu, bit_depth, chroma):
 
     (rec_y, rec_u, rec_v), _ = jax.lax.scan(step, (rec_y, rec_u, rec_v), cu)
     return rec_y, rec_u, rec_v
+
+
+# ---------------------------------------------------------------------------
+# Wavefront scan: dependency-leveled batches (ops/wavefront.py computes the
+# schedule).  Each lax.scan step processes one level: every CU in the level
+# is provably independent, so per-class vmap + one scatter replaces the
+# per-CU step — the config-3/4 intra throughput fix.
+# ---------------------------------------------------------------------------
+def _htdf_tile(rec, x, y, lw, lh, avail, tbl_idx, S, bd):
+    """S x S HTDF tile for one CU (body of _step_htdf, parameterized)."""
+    S2 = S + 2
+    maxv = (1 << bd) - 1
+    w = 1 << lw
+    h = 1 << lh
+    e0 = jax.lax.dynamic_slice(
+        rec, (BORDER + y - 1, BORDER + x - 1), (S2, S2)).astype(jnp.int32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (S2, S2), 1)
+    LE = (avail & 1) > 0
+    RI = (avail & 2) > 0
+    UP = (avail & 4) > 0
+    UP_LE = (avail & 8) > 0
+    UP_RI = (avail & 16) > 0
+    LO_LE = (avail & 32) > 0
+    LO_RI = (avail & 64) > 0
+    rr_idx = jnp.where(rr == 0, jnp.where(UP, 0, 1), jnp.minimum(rr, h))
+    cc_idx = jnp.where(cc == 0, jnp.where(LE, 0, 1),
+                       jnp.where(cc == w + 1, jnp.where(RI, w + 1, w),
+                                 jnp.minimum(cc, w)))
+    val = e0[rr_idx, cc_idx]
+    c00 = jnp.where(UP_LE, e0[0, 0], e0[1, 1])
+    c01 = jnp.where(UP_RI, e0[0, w + 1], e0[1, w])
+    c10 = jnp.where(LO_LE, e0[h + 1, 0], e0[h, 1])
+    c11 = jnp.where(LO_RI, e0[h + 1, w + 1], e0[h, w])
+    val = jnp.where((rr == 0) & (cc == 0), c00, val)
+    val = jnp.where((rr == 0) & (cc == w + 1), c01, val)
+    val = jnp.where((rr == h + 1) & (cc == 0), c10, val)
+    val = jnp.where((rr == h + 1) & (cc == w + 1), c11, val)
+    x0 = val[:-1, :-1]
+    x1 = val[:-1, 1:]
+    x2 = val[1:, :-1]
+    x3 = val[1:, 1:]
+    y0 = x0 + x2
+    y1 = x1 + x3
+    y2 = x0 - x2
+    y3 = x1 - x3
+    t0 = y0 + y1
+    t1 = y0 - y1
+    t2 = y2 + y3
+    t3 = y2 - y3
+    ti = jnp.clip(tbl_idx, 0, 4)
+    thr_log2 = _HTDF_THR_LOG2[ti]
+    shift = thr_log2 - 4
+    rnd = (1 << shift) >> 1
+    thr = (1 << thr_log2) - (1 << shift)
+    tbl_row = _HTDF_TBL[ti]
+    z1 = _htdf_read_table(t1, tbl_row, thr, shift, rnd)
+    z2 = _htdf_read_table(t2, tbl_row, thr, shift, rnd)
+    z3 = _htdf_read_table(t3, tbl_row, thr, shift, rnd)
+    iy0 = t0 + z2
+    iy1 = z1 + z3
+    iy2 = t0 - z2
+    iy3 = z1 - z3
+    acc = jnp.zeros((S2, S2), jnp.int32)
+    acc = acc.at[:-1, :-1].add((iy0 + iy1) >> 2)
+    acc = acc.at[:-1, 1:].add((iy0 - iy1) >> 2)
+    acc = acc.at[1:, :-1].add((iy2 + iy3) >> 2)
+    acc = acc.at[1:, 1:].add((iy2 - iy3) >> 2)
+    out = jnp.clip((acc + 2) >> 2, 0, maxv)
+    return out[1:S + 1, 1:S + 1]
+
+
+def _scatter_tiles(plane, tiles, x, y, lw, lh, ok, S):
+    """Write B S x S tiles into the bordered plane in one scatter; lanes
+    with ok == 0 or beyond the CU extent drop via out-of-bounds indices."""
+    B = tiles.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 2)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 1)
+    okm = (ii < (1 << lw)[:, None, None]) & \
+          (jj < (1 << lh)[:, None, None]) & (ok[:, None, None] == 1)
+    rows = BORDER + y[:, None, None] + jj
+    cols = BORDER + x[:, None, None] + ii
+    Wp = plane.shape[1]
+    idx = jnp.where(okm, rows * Wp + cols, jnp.int32(-2 ** 30))
+    flat = plane.reshape(-1).at[idx.reshape(-1)].set(
+        tiles.astype(plane.dtype).reshape(-1), mode="drop")
+    return flat.reshape(plane.shape)
+
+
+def _chroma_ipm_eff(ipm, ipm_c):
+    """Effective chroma mode (ref: src_main/xevdm_ipred.c:267-305)."""
+    dm_map = jnp.where(
+        ipm == T.IPD_VER, T.IPD_VER_C,
+        jnp.where(ipm == T.IPD_HOR, T.IPD_HOR_C,
+                  jnp.where(ipm == T.IPD_DC, T.IPD_DC_C, T.IPD_BI_C)))
+    mapped = (ipm_c == T.IPD_DM_C) & (
+        (ipm == T.IPD_VER) | (ipm == T.IPD_HOR) | (ipm == T.IPD_DC)
+        | (ipm == T.IPD_BI))
+    ipm_ce = jnp.where(mapped, dm_map, ipm_c)
+    return jnp.where(
+        ipm_ce == T.IPD_DM_C, ipm,
+        jnp.where(ipm_ce == T.IPD_BI_C, T.IPD_BI,
+                  jnp.where(ipm_ce == T.IPD_DC_C, T.IPD_DC,
+                            jnp.where(ipm_ce == T.IPD_HOR_C,
+                                      T.IPD_HOR, T.IPD_VER))))
+
+
+def _pred_tile(rec, resid, x, y, lw, lh, ipm, um, lm, rm, co, lr, lg_unit,
+               S, bd):
+    maxv = (1 << bd) - 1
+    upg, leg, rig = _nbr_main(rec, x, y, lw, lh, um, lm, rm, co, lg_unit,
+                              S, bd)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    pred = _predict_main(upg, leg, rig, upg[1:], ipm, lw, lh, lr, ii, jj,
+                         S, bd)
+    rblk = jax.lax.dynamic_slice(resid, (BORDER + y, BORDER + x),
+                                 (S, S)).astype(jnp.int32)
+    t = (pred + rblk).astype(jnp.int16).astype(jnp.int32)
+    return jnp.clip(t, 0, maxv)
+
+
+@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+def intra_scan_wave(planes, resids, groups, bit_depth, chroma):
+    """Wavefront EIPD scan.  groups: {tile_S: int32 [L, B_S, ncol]} with
+    the same 13/16 column layout as intra_scan_main's icu rows; every
+    class shares the level axis L."""
+    rec_y, rec_u, rec_v = planes
+    res_y, res_u, res_v = resids
+    sizes = sorted(groups.keys())
+    ncol = next(iter(groups.values())).shape[2]
+    has_htdf = ncol > 13
+
+    def cols(a):
+        c = {"x": a[:, 0], "y": a[:, 1], "log2w": a[:, 2], "log2h": a[:, 3],
+             "ipm": a[:, 4], "ipm_c": a[:, 5], "up_mask": a[:, 6],
+             "left_mask": a[:, 7], "right_mask": a[:, 8],
+             "corner": a[:, 9], "lr": a[:, 10], "tree": a[:, 11],
+             "valid": a[:, 12]}
+        if has_htdf:
+            c["do_intra"] = a[:, 13]
+            c["htdf_idx"] = a[:, 14]
+            c["htdf_avail"] = a[:, 15]
+        else:
+            c["do_intra"] = c["valid"]
+        return c
+
+    def step(carry, cs):
+        ry, ru, rv = carry
+        # phase 1: all prediction tiles from the pre-step planes
+        staged = []
+        for S in sizes:
+            c = cols(cs[S])
+            ty = jax.vmap(
+                lambda x, y, lw, lh, ipm, um, lm, rm, co, lr:
+                _pred_tile(ry, res_y, x, y, lw, lh, ipm, um, lm, rm, co,
+                           lr, 2, S, bit_depth)
+            )(c["x"], c["y"], c["log2w"], c["log2h"], c["ipm"],
+              c["up_mask"], c["left_mask"], c["right_mask"], c["corner"],
+              c["lr"])
+            tu = tv = None
+            if chroma:
+                Sc = S >> 1
+                ipm_eff = _chroma_ipm_eff(c["ipm"], c["ipm_c"])
+                def cpred(res_p, plane):
+                    return jax.vmap(
+                        lambda x, y, lw, lh, ipm, um, lm, rm, co, lr:
+                        _pred_tile(plane, res_p, x, y, lw, lh, ipm, um,
+                                   lm, rm, co, lr, 1, Sc, bit_depth)
+                    )(c["x"] >> 1, c["y"] >> 1, c["log2w"] - 1,
+                      c["log2h"] - 1, ipm_eff, c["up_mask"],
+                      c["left_mask"], c["right_mask"], c["corner"],
+                      c["lr"])
+                tu = cpred(res_u, ru)
+                tv = cpred(res_v, rv)
+            staged.append((S, c, ty, tu, tv))
+        # phase 2: scatter all prediction tiles
+        for S, c, ty, tu, tv in staged:
+            do_l = jnp.where((c["tree"] != 2) & (c["valid"] == 1)
+                             & (c["do_intra"] == 1), 1, 0)
+            ry = _scatter_tiles(ry, ty, c["x"], c["y"], c["log2w"],
+                                c["log2h"], do_l, S)
+            if chroma:
+                do_c = jnp.where((c["tree"] != 1) & (c["valid"] == 1)
+                                 & (c["do_intra"] == 1), 1, 0)
+                ru = _scatter_tiles(ru, tu, c["x"] >> 1, c["y"] >> 1,
+                                    c["log2w"] - 1, c["log2h"] - 1, do_c,
+                                    S >> 1)
+                rv = _scatter_tiles(rv, tv, c["x"] >> 1, c["y"] >> 1,
+                                    c["log2w"] - 1, c["log2h"] - 1, do_c,
+                                    S >> 1)
+        # phase 3: HTDF from the post-scatter plane, then scatter
+        if has_htdf:
+            for S in sizes:
+                c = cols(cs[S])
+                th = jax.vmap(
+                    lambda x, y, lw, lh, av, ti:
+                    _htdf_tile(ry, x, y, lw, lh, av, ti, S, bit_depth)
+                )(c["x"], c["y"], c["log2w"], c["log2h"],
+                  c["htdf_avail"], c["htdf_idx"])
+                do_h = jnp.where((c["valid"] == 1) & (c["htdf_idx"] >= 0),
+                                 1, 0)
+                ry = _scatter_tiles(ry, th, c["x"], c["y"], c["log2w"],
+                                    c["log2h"], do_h, S)
+        return (ry, ru, rv), 0
+
+    (rec_y, rec_u, rec_v), _ = jax.lax.scan(step, (rec_y, rec_u, rec_v),
+                                            groups)
+    return rec_y, rec_u, rec_v

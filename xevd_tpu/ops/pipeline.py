@@ -355,17 +355,8 @@ def run_frame_device(payload, icu, dbst, waves, refs, st, alf=None,
         rtuple = (resids[0], resids[1] if chroma else resids[0],
                   resids[2] if chroma else resids[0])
         if st["eipd"]:
-            cu = {"x": icu[:, 0], "y": icu[:, 1], "log2w": icu[:, 2],
-                  "log2h": icu[:, 3], "ipm": icu[:, 4],
-                  "ipm_c": icu[:, 5], "up_mask": icu[:, 6],
-                  "left_mask": icu[:, 7], "right_mask": icu[:, 8],
-                  "corner": icu[:, 9], "lr": icu[:, 10],
-                  "tree": icu[:, 11], "valid": icu[:, 12]}
-            if icu.shape[1] > 13:       # HTDF columns present
-                cu["do_intra"] = icu[:, 13]
-                cu["htdf_idx"] = icu[:, 14]
-                cu["htdf_avail"] = icu[:, 15]
-            recs = JIM.intra_scan_main(recs, rtuple, cu, bd, chroma)
+            # wavefront schedule: dict {tile_S: [L, B, ncol]}
+            recs = JIM.intra_scan_wave(recs, rtuple, icu, bd, chroma)
         else:
             cu = {"x": icu[:, 0], "y": icu[:, 1], "log2": icu[:, 2],
                   "ipm": icu[:, 3], "up_mask": icu[:, 4],
@@ -498,7 +489,7 @@ class JaxPixelBackend:
             pk = _Packer()
         self._pack_itdq(pk, fs, bd, chroma, iqt)
         refs, has_inter = self._pack_mc(pk, fs, job, refp, chroma)
-        icu_np = (self._pack_intra_main(fs, job) if eipd
+        icu_np = (self._pack_intra_main(fs, job, chroma) if eipd
                   else self._pack_intra(None, fs, job))
         deblock_on = bool(fs.sh.deblocking_filter_on)
         addb = bool(deblock_on and job.addb_luma is not None)
@@ -831,7 +822,7 @@ class JaxPixelBackend:
         return arr
 
     # ------------------------------------------------------------------
-    def _pack_intra_main(self, fs, job):
+    def _pack_intra_main(self, fs, job, chroma=True):
         """Per-CU tensor rows for the EIPD intra scan
         (ops/jax_intra_main.intra_scan_main).  When the frame has HTDF
         work, the scan list also carries the HTDF-qualifying inter CUs
@@ -868,10 +859,12 @@ class JaxPixelBackend:
         if htdf_any:
             cols += [intra[idx].astype(np.int32),
                      job.cu_htdf_idx[idx], job.cu_htdf_avail[idx]]
-        arr[:N] = np.stack(cols, 1)
-        if htdf_any:
-            arr[N:, 14] = -1            # padded rows: no htdf
-        return arr
+        rows = np.stack(cols, 1).astype(np.int32)
+        # wavefront schedule: dependency levels -> per-size-class batches
+        from .wavefront import group_wavefront, level_scan_cus
+        levels = level_scan_cus(fs, job, idx, chroma=chroma)
+        return group_wavefront(rows, levels, rows[:, 2], rows[:, 3],
+                               self._rows)
 
 
 def _chroma_ver_waves(fs, job):
