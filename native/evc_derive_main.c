@@ -21,6 +21,7 @@
 #define MODE_INTER 1
 #define MODE_SKIP 2
 #define MODE_DIR 3
+#define MODE_IBC 6
 #define PRED_DIR 4
 #define REFI_INVALID (-1)
 
@@ -90,6 +91,7 @@ typedef struct {
     /* affine per-SCU state (AffineMaps): flag 0/1/2 + owning-CU geometry */
     uint8_t *am_aff, *am_logw, *am_logh;
     uint16_t *am_xoff, *am_yoff;
+    uint8_t *map_ibc;
 } DM;
 
 static int s16c(long long v) {
@@ -171,7 +173,8 @@ static void motion_availability(DM *d, int x_scu, int y_scu, int scuw,
                                 int valid[5]) {
     int W = d->w_scu, H = d->h_scu;
     int yb = y_scu + scuh - 1;
-#define OKP(yy, xx) (d->cod[(yy) * W + (xx)] && !d->map_if[(yy) * W + (xx)])
+#define OKP(yy, xx) (d->cod[(yy) * W + (xx)] \
+    && !d->map_if[(yy) * W + (xx)] && !d->map_ibc[(yy) * W + (xx)])
     if (avail_lr == LR_11) {
         int py[5] = {yb, yb, y_scu - 1, y_scu - 1, y_scu - 1};
         int px[5] = {x_scu - 1, x_scu + scuw, x_scu, x_scu + scuw,
@@ -1089,7 +1092,7 @@ static void aff_merge_candidates(DM *d, int x_scu, int y_scu, int cuw,
         for (int i = 0; i < VER_NUM; i++) cp_refi[l][i] = REFI_INVALID;
 
 #define PLAIN_OK(d, y, x) \
-    (COD_OK(d, y, x))   /* map_ibc not tracked yet (ibc off) */
+    (COD_OK(d, y, x) && !(d)->map_ibc[(y) * (d)->w_scu + (x)])
 
     {   /* LT */
         int cand[3][2] = {{y_scu - 1, x_scu - 1}, {y_scu - 1, x_scu},
@@ -1588,7 +1591,7 @@ int evc_main_derive(
     size_t n_scu = (size_t)W * H;
     d.cod = (uint8_t *)calloc(n_scu, 1);
     if (!d.cod) return -1;
-    d.am_aff = (uint8_t *)calloc(n_scu, 3);
+    d.am_aff = (uint8_t *)calloc(n_scu, 4);
     d.am_xoff = (uint16_t *)calloc(n_scu, 2 * sizeof(uint16_t));
     if (!d.am_aff || !d.am_xoff) {
         free(d.cod); free(d.am_aff); free(d.am_xoff);
@@ -1596,6 +1599,7 @@ int evc_main_derive(
     }
     d.am_logw = d.am_aff + n_scu;
     d.am_logh = d.am_aff + 2 * n_scu;
+    d.map_ibc = d.am_aff + 3 * n_scu;
     d.am_yoff = d.am_xoff + n_scu;
     memset(map_mv, 0, n_scu * 4 * sizeof(int16_t));
     memset(map_refi, -1, n_scu * 2);
@@ -1694,7 +1698,14 @@ int evc_main_derive(
             int aff_vertex = 0;
             int ac_mv2[2][VER_NUM][2];
             memset(ac_mv2, 0, sizeof(ac_mv2));
-            if (aff_parsed && (pm == MODE_SKIP || pm == MODE_DIR)) {
+            if (pm == MODE_IBC) {
+                /* block vector = raw mvd (ref: xevdm_eco.c:1789-1800) */
+                mv[0][0] = r[M_MVD0X];
+                mv[0][1] = r[M_MVD0Y];
+                refi[0] = refi[1] = REFI_INVALID;
+                for (int j = 0; j < scuh; j++)
+                    memset(d.map_ibc + (y_scu + j) * W + x_scu, 1, scuw);
+            } else if (aff_parsed && (pm == MODE_SKIP || pm == MODE_DIR)) {
                 /* affine merge (ref: src_main/xevdm.c:946-977) */
                 int lr = dm_avail_lr(&d, x_scu, y_scu, scuw);
                 int refi_l[AFF_MAX_CAND][2];
@@ -1881,7 +1892,8 @@ int evc_main_derive(
                 cu_refi[i * 2] = refi[0];
                 cu_refi[i * 2 + 1] = refi[1];
             } else {
-            if (hmvp) hist_update(&d, refi, (const int (*)[2])mv);
+            if (hmvp && pm != MODE_IBC)
+                hist_update(&d, refi, (const int (*)[2])mv);
 
             cu_mv[i * 4] = mv[0][0];
             cu_mv[i * 4 + 1] = mv[0][1];
@@ -1919,7 +1931,7 @@ int evc_main_derive(
 
         htdf_idx[i] = -1;
         htdf_avail[i] = 0;
-        if (htdf_on && r[M_TREE] != 2
+        if (htdf_on && r[M_TREE] != 2 && pm != MODE_IBC
             && (pm == MODE_INTRA || r[M_CBF_Y])) {
             int idx = htdf_skip_and_idx(cuw, cuh, pm == MODE_INTRA,
                                         params[D_SH_QP]);

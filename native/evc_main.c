@@ -24,6 +24,7 @@
 #define MODE_INTER 1
 #define MODE_SKIP 2
 #define MODE_DIR 3
+#define MODE_IBC 6
 #define PRED_L0 0
 #define PRED_L1 1
 #define PRED_BI 2
@@ -354,7 +355,7 @@ typedef struct {
     uint8_t *edge_hor, *edge_ver, *edge_hor_c, *edge_ver_c;
     uint8_t *alf_ctu_on;
     /* internal per-SCU state */
-    uint8_t *cod_eco, *map_logw, *map_logh, *map_aff_eco;
+    uint8_t *cod_eco, *map_logw, *map_logh, *map_aff_eco, *map_ibc_eco;
     int n_cus;
     int qp_prev_eco;
     int err;
@@ -574,15 +575,17 @@ static CtxFlags ctx_flags(MDec *d, int x_scu, int y_scu, int cuw, int cuh) {
     if (x_scu + scuw < W && d->cod_eco[yb * W + x_scu + scuw])
         nbr[nn++] = yb * W + x_scu + scuw;
     if (!nn || !d->cm_init) return out;
-    int cs = 0, cp = 0, ca = 0;
+    int cs = 0, cp = 0, ca = 0, ci = 0;
     for (int i = 0; i < nn; i++) {
         cs += d->map_skip[nbr[i]];
         cp += d->map_if[nbr[i]];
         if (d->slice_type != SLICE_I) ca += d->map_aff_eco[nbr[i]];
+        if (d->p[P_IBC_FLAG]) ci += d->map_ibc_eco[nbr[i]];
     }
     out.skip = cs < N_CTX_SKIP_FLAG - 1 ? cs : N_CTX_SKIP_FLAG - 1;
     out.pred = cp < N_CTX_PRED_MODE - 1 ? cp : N_CTX_PRED_MODE - 1;
     out.affine = ca < N_CTX_AFFINE_FLAG - 1 ? ca : N_CTX_AFFINE_FLAG - 1;
+    out.ibc = ci < N_CTX_IBC_FLAG - 1 ? ci : N_CTX_IBC_FLAG - 1;
     /* mode_cons neighbor info is never filled in the reference → ctx 0;
        affine/ibc counts land with those tools */
     return out;
@@ -1522,14 +1525,23 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
         }
         qp = d->p[P_DQP_ENABLED] ? d->qp_prev_eco : d->qp;
     } else {
-        /* pred mode flag (ref: src_main/xevdm_eco.c:1401-1450) */
-        if (mode_cons == MC_ONLY_INTER)
+        /* pred mode flag + IBC (ref: src_main/xevdm_eco.c:1400-1452) */
+        int pred_bin = 0;
+        if (mode_cons == MC_ONLY_INTER) {
             pred_mode = MODE_INTER;
-        else if (d->slice_type != SLICE_I && !only_intra)
-            pred_mode = sbac_bin(s, MCTX_PRED_MODE + cf.pred)
-                        ? MODE_INTRA : MODE_INTER;
-        else
+        } else if (d->slice_type != SLICE_I && !only_intra) {
+            pred_bin = (int)sbac_bin(s, MCTX_PRED_MODE + cf.pred);
+            pred_mode = pred_bin ? MODE_INTRA : MODE_INTER;
+        } else {
             pred_mode = MODE_INTRA;
+        }
+        if (d->p[P_IBC_FLAG] && log2_cuw <= d->p[P_IBC_LOG_MAX]
+            && log2_cuh <= d->p[P_IBC_LOG_MAX] && tree_type != TREE_C
+            && mode_cons != MC_ONLY_INTER
+            && !(mode_cons == MC_ALL && pred_bin)) {
+            if (sbac_bin(s, MCTX_IBC_FLAG + cf.ibc))
+                pred_mode = MODE_IBC;
+        }
 
         if (pred_mode == MODE_INTER) {
             if (d->p[P_AMVR])
@@ -1614,6 +1626,9 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
                     }
                 }
             }
+        } else if (pred_mode == MODE_IBC) {
+            /* block vector as one raw mvd (ref: xevdm_eco.c:1789-1800) */
+            read_mvd(d, mvd[0]);
         } else if (!d->eipd) {
             if (check_luma) {
                 ipm = read_intra_dir_b(d, x_scu, y_scu);
@@ -1697,6 +1712,8 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
             d->map_logw[row + i] = (uint8_t)log2_cuw;
             d->map_logh[row + i] = (uint8_t)log2_cuh;
             d->map_aff_eco[row + i] = (uint8_t)aff_flag;
+            d->map_ibc_eco[row + i] =
+                (uint8_t)(pred_mode == MODE_IBC ? 1 : 0);
         }
     }
     /* cbf-luma map: ATS-inter marks the coded sub-TU only
@@ -1931,13 +1948,14 @@ int evc_main_decode_slice(
     d.err = 0;
 
     size_t n_scu = (size_t)d.w_scu * d.h_scu;
-    uint8_t *scratch = (uint8_t *)malloc(n_scu * 4);
+    uint8_t *scratch = (uint8_t *)malloc(n_scu * 5);
     if (!scratch) return -4;
     d.cod_eco = scratch;
     d.map_logw = scratch + n_scu;
     d.map_logh = scratch + 2 * n_scu;
     d.map_aff_eco = scratch + 3 * n_scu;
-    memset(scratch, 0, n_scu * 4);
+    d.map_ibc_eco = scratch + 4 * n_scu;
+    memset(scratch, 0, n_scu * 5);
     memset(map_ipm, -1, n_scu);
 
     bsr_init(&d.bs, payload, payload_size);

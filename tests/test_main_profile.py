@@ -88,6 +88,10 @@ CASES = [
 # affine cases decode on the numpy backend only until the device affine
 # path lands (pipeline.check_caps refuses tool_affine)
 CASES_AFFINE = [
+    ("m_ibc_i", 176, 144, 3, 30, 961, "I", ("ibc", "eipd", "cm_init")),
+    ("m_ibc_ra", 176, 144, 5, 30, 962, "RA",
+     ("ibc", "admvp", "hmvp", "affine", "amvr", "mmvd", "btt", "suco",
+      "adcc", "eipd", "cm_init")),
     ("m_aff_p", 176, 144, 4, 30, 951, "IPPP",
      ("admvp", "hmvp", "affine", "eipd", "cm_init")),
     ("m_aff_ra", 176, 144, 5, 30, 952, "RA",

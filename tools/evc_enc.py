@@ -462,7 +462,8 @@ class FrameEncoder:
     """Encodes one slice worth of CTUs with random decisions."""
 
     def __init__(self, w, h, slice_type, qp, rng: np.random.Generator,
-                 num_refp=0, prev_maps=None, density=0.5, refp=None,
+                 num_refp=0, prev_maps=None, density=0.5,
+                 intra_frac=0.35, refp=None,
                  num_refp1=0, poc=0, tools=None, main=False,
                  mmvd_group_enable=0):
         self.w, self.h = w, h
@@ -482,6 +483,7 @@ class FrameEncoder:
         self.map_refi = np.full((self.h_scu, self.w_scu, 2), -1, np.int8)
         self.prev_maps = prev_maps  # (map_mv of refp[0][0]) for TMVP
         self.density = density
+        self.intra_frac = intra_frac
         self.refp = refp            # decoder-style refp[ridx][lidx] views
         self.num_refp1 = num_refp1
         self.poc = poc
@@ -502,6 +504,7 @@ class FrameEncoder:
         # entropy-time affine-flag map (affine_flag ctx neighbor counts,
         # mirror of frame.EntropyDecoder.map_affine)
         self.map_aff_eco = np.zeros((self.h_scu, self.w_scu), np.uint8)
+        self.mm.map_ibc = np.zeros((self.h_scu, self.w_scu), np.uint8)
         self.mmvd_group_enable = mmvd_group_enable
         self.sh_mirror = SimpleNamespace(
             slice_type=slice_type, temporal_mvp_asigned_flag=0,
@@ -785,8 +788,55 @@ class FrameEncoder:
         if only_inter:
             intra = 0
         elif is_inter_slice and not only_intra:
-            intra = int(rng.random() < 0.35)
+            intra = int(rng.random() < self.intra_frac)
             sb.encode_bin(ctx.pred_mode, ctx_pred, intra)
+
+        # IBC flag (ref: src_main/xevdm_eco.c:1419-1432): allowed after an
+        # INTER pred bin or in only-intra context, never after an INTRA bin
+        read_pred_bin = is_inter_slice and not only_intra and not only_inter
+        if self.tools.ibc and cuw <= (1 << self.tools.ibc_log_max_size) \
+                and cuh <= (1 << self.tools.ibc_log_max_size) \
+                and not only_inter and not (read_pred_bin and intra):
+            bv = self._pick_ibc_bv(x_scu, y_scu, cuw, cuh)
+            ibc = int(bv is not None and not luma_only
+                      and self.rng.random() < 0.4)
+            ctx_ibc = 0
+            if self.tools.cm_init:
+                yb = y_scu + scuh - 1
+                ci = nn = 0
+                for (py, px) in ((y_scu - 1, x_scu), (yb, x_scu - 1),
+                                 (yb, x_scu + scuw)):
+                    if 0 <= py and 0 <= px < self.w_scu and \
+                            self.cod[py, px]:
+                        ci += int(self.mm.map_ibc[py, px])
+                        nn += 1
+                ctx_ibc = min(ci, 1) if nn else 0
+            sb.encode_bin(ctx.ibc_flag, ctx_ibc, ibc)
+            if ibc:
+                for d in range(2):
+                    sb.abs_mvd(ctx.mvd, abs(bv[d]))
+                    if bv[d]:
+                        sb.encode_bin_ep(1 if bv[d] < 0 else 0)
+                ys_, xs_ = slice(y_scu, y_scu + scuh), \
+                    slice(x_scu, x_scu + scuw)
+                self.map_if[ys_, xs_] = 0
+                self.map_skip[ys_, xs_] = 0
+                self.map_refi[ys_, xs_] = -1
+                self.map_mv[ys_, xs_] = np.asarray(
+                    [[bv[0], bv[1]], [0, 0]], np.int16)
+                self.cod[ys_, xs_] = 1
+                self.mm.map_ibc[ys_, xs_] = 1
+                cbf = self._enc_cbf(intra=False, no_cbf=False)
+                if cbf[0]:
+                    self._enc_coef_block(log2w, log2h, 0)
+                if cbf[1] or cbf[2]:
+                    if cbf[1]:
+                        self._enc_coef_block(log2w - 1, log2h - 1, 1)
+                    if cbf[2]:
+                        self._enc_coef_block(log2w - 1, log2h - 1, 1)
+                self.map_logw[ys_, xs_] = log2w
+                self.map_logh[ys_, xs_] = log2h
+                return
 
         if not intra and admvp:
             mvr_idx = 0
@@ -922,6 +972,23 @@ class FrameEncoder:
         self.cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
         self.map_logw[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2w
         self.map_logh[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = log2h
+
+    def _pick_ibc_bv(self, x_scu, y_scu, cuw, cuh):
+        """A block vector whose source rect is fully inside the
+        already-coded area (integer-pel, SCU-aligned candidates)."""
+        scuw, scuh = cuw >> 2, cuh >> 2
+        cands = [(-cuw, 0), (0, -cuh), (-cuw, -cuh), (-2 * cuw, 0),
+                 (0, -2 * cuh)]
+        for k in self.rng.permutation(len(cands)):
+            bvx, bvy = cands[int(k)]
+            sx, sy = (x_scu * 4 + bvx) >> 2, (y_scu * 4 + bvy) >> 2
+            if sx < 0 or sy < 0:
+                continue
+            if sx + scuw > self.w_scu or sy + scuh > self.h_scu:
+                continue
+            if self.cod[sy:sy + scuh, sx:sx + scuw].all():
+                return (bvx, bvy)
+        return None
 
     def _ctx_affine(self, x_scu, y_scu, scuw, scuh):
         # mirror of frame.EntropyDecoder._ctx_flags affine count
@@ -1599,7 +1666,7 @@ class FrameEncoder:
 
 def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
                   density=0.5, idr_period=0, bd=8, profile=0,
-                  tools=None) -> bytes:
+                  tools=None, intra_frac=0.35) -> bytes:
     """Generate a stream.
 
     gop: 'I' all-intra, 'IPPP' low-delay P, 'RA' hierarchical B
@@ -1712,7 +1779,8 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
                       alf=alf, poc_lsb=poc.poc_val, rpl0=rpl0, rpl1=rpl1,
                       active_num=active_num)
         fe = FrameEncoder(w, h, st, qp, rng, num_refp=num_refp[0],
-                          density=density, refp=refp, num_refp1=num_refp[1],
+                          density=density, intra_frac=intra_frac,
+                          refp=refp, num_refp1=num_refp[1],
                           poc=poc.poc_val, tools=tools,
                           main=profile in (1, 3),
                           mmvd_group_enable=mmvd_grp if st != T.SLICE_I

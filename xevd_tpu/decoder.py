@@ -30,7 +30,7 @@ def check_decoder_caps(sps):
     ref: src_base/xevd_def.h:841-894)."""
     unsup = []
     if getattr(sps, "is_main", False):
-        for flag, name in (("ibc_flag", "ibc"), ("tool_dmvr", "dmvr")):
+        for flag, name in (("tool_dmvr", "dmvr"),):
             if getattr(sps, flag, 0):
                 unsup.append(name)
     if unsup:
@@ -205,7 +205,7 @@ class NumpyPixelBackend:
         main_taps = bool(getattr(sps, "is_main", False) and sps.tool_admvp)
         aff_flags = getattr(job, "cu_aff_flag", None)
         for i in range(n):
-            if fs.cu_pred_mode[i] == T.MODE_INTRA:
+            if fs.cu_pred_mode[i] in (T.MODE_INTRA, T.MODE_IBC):
                 continue
             x, y = fs.cu_x[i], fs.cu_y[i]
             cuw = 1 << fs.cu_log2w[i]
@@ -295,6 +295,34 @@ class NumpyPixelBackend:
         if eipd:
             from .ops import ref_numpy_main as RM
         for i in range(n):
+            if fs.cu_pred_mode[i] == T.MODE_IBC:
+                # in-loop block copy from the current reconstruction
+                # (ref: src_main/xevdm_mc.c:2040 xevdm_IBC_mc)
+                x, y = fs.cu_x[i], fs.cu_y[i]
+                cuw = 1 << fs.cu_log2w[i]
+                cuh = 1 << fs.cu_log2h[i]
+                bvx, bvy = int(job.cu_mv[i][0][0]), int(job.cu_mv[i][0][1])
+                tree = fs.cu_tree[i]
+                r = resid.get(i, (None, None, None))
+                cbf = fs.cu_cbf[i]
+                if tree != 2:
+                    py = rec_y[y + bvy:y + bvy + cuh,
+                               x + bvx:x + bvx + cuw].astype(np.int32)
+                    rec_y[y:y + cuh, x:x + cuw] = RN.recon(
+                        py, r[0], bool(cbf[0]), bd)
+                if cfi and tree != 1:
+                    xc, yc = x >> cw_s, y >> ch_s
+                    wc, hc = cuw >> cw_s, cuh >> ch_s
+                    bvxc, bvyc = bvx >> cw_s, bvy >> ch_s
+                    pu = rec_u[yc + bvyc:yc + bvyc + hc,
+                               xc + bvxc:xc + bvxc + wc].astype(np.int32)
+                    pv = rec_v[yc + bvyc:yc + bvyc + hc,
+                               xc + bvxc:xc + bvxc + wc].astype(np.int32)
+                    rec_u[yc:yc + hc, xc:xc + wc] = RN.recon(
+                        pu, r[1], bool(cbf[1]), bd)
+                    rec_v[yc:yc + hc, xc:xc + wc] = RN.recon(
+                        pv, r[2], bool(cbf[2]), bd)
+                continue
             if fs.cu_pred_mode[i] != T.MODE_INTRA:
                 if htdf_on and job.cu_htdf_idx[i] >= 0:
                     htdf_block(rec_y, fs.cu_x[i], fs.cu_y[i],

@@ -199,7 +199,13 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
             scup = (y_scu, x_scu)
 
             aff = int(fs.cu_aff[i]) if affine_on else 0
-            if aff and pm in (T.MODE_SKIP, T.MODE_DIR):
+            if pm == T.MODE_IBC:
+                # block copy: the raw mvd is the block vector
+                # (ref: src_main/xevdm_eco.c:1789-1800, set_dec_info)
+                mv[0] = fs.cu_mvd[i][0]
+                refi = [T.REFI_INVALID, T.REFI_INVALID]
+                mm.map_ibc[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
+            elif aff and pm in (T.MODE_SKIP, T.MODE_DIR):
                 # affine merge (ref: src_main/xevdm.c:946-977)
                 lr = mm.avail_lr(x_scu, y_scu, scuw)
                 refi_l, cpmv_l, cp_num = AF.get_affine_merge_candidate(
@@ -333,8 +339,8 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                         cu_aff_mv[i, l, v] = ac_mv2[l][v]
                 cu_refi[i] = refi
             else:
-                if hmvp:
-                    # (ref: src_main/xevdm.c:1333-1341, non-affine)
+                if hmvp and pm != T.MODE_IBC:
+                    # (ref: src_main/xevdm.c:1333-1341, non-affine/IBC)
                     mm.history_update(refi, mv)
 
                 cu_mv[i] = mv
@@ -348,7 +354,7 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                           if aff else 0, int(fs.cu_log2w[i]),
                           int(fs.cu_log2h[i]))
 
-        if htdf_on and fs.cu_tree[i] != 2 and (
+        if htdf_on and fs.cu_tree[i] != 2 and pm != T.MODE_IBC and (
                 pm == T.MODE_INTRA or fs.cu_cbf[i][0]):
             # HTDF skip condition + LUT row (slice qp) and recon-time
             # availability (ref: src_main/xevdm.c:1383-1390,

@@ -807,16 +807,24 @@ class EntropyDecoder:
                         mvp_idx[1] = mvp_idx[0]
             qp = self.qp_prev_eco if self.pps.cu_qp_delta_enabled_flag else sh.qp
         else:
-            # pred mode flag (ref: xevdm_eco_pred_mode,
-            # src_main/xevdm_eco.c:1401-1450)
+            # pred mode flag + IBC (ref: xevdm_eco_pred_mode,
+            # src_main/xevdm_eco.c:1400-1452)
+            pred_bin = 0
             if mode_cons == MODE_CONS_ONLY_INTER:
                 pred_mode = T.MODE_INTER
             elif sh.slice_type != T.SLICE_I and not only_intra:
-                pred_mode = (T.MODE_INTRA
-                             if sbac.decode_bin(ctx.pred_mode, cf["pred"])
-                             else T.MODE_INTER)
+                pred_bin = sbac.decode_bin(ctx.pred_mode, cf["pred"])
+                pred_mode = T.MODE_INTRA if pred_bin else T.MODE_INTER
             else:
                 pred_mode = T.MODE_INTRA
+            if self.is_main and sps.ibc_flag \
+                    and log2_cuw <= sps.ibc_log_max_size \
+                    and log2_cuh <= sps.ibc_log_max_size \
+                    and tree_type != TREE_C \
+                    and mode_cons != MODE_CONS_ONLY_INTER \
+                    and not (mode_cons == MODE_CONS_ALL and pred_bin):
+                if sbac.decode_bin(ctx.ibc_flag, cf["ibc"]):
+                    pred_mode = T.MODE_IBC
 
             if pred_mode == T.MODE_INTER:
                 if sps.tool_amvr:
@@ -889,6 +897,10 @@ class EntropyDecoder:
                                         self.num_refp[lidx])
                                 if bi_idx != 2 + lidx:
                                     mvd[lidx] = self._read_mvd()
+            elif pred_mode == T.MODE_IBC:
+                # block vector coded as one raw mvd
+                # (ref: src_main/xevdm_eco.c:1789-1800)
+                mvd[0] = self._read_mvd()
             elif not self.is_main:
                 ipm = self._read_intra_dir(x_scu, y_scu)
             elif sps.tool_eipd:
@@ -991,6 +1003,7 @@ class EntropyDecoder:
         self.map_logw[ys, xs] = log2_cuw
         self.map_logh[ys, xs] = log2_cuh
         self.map_affine[ys, xs] = aff_flag
+        self.map_ibc[ys, xs] = 1 if pred_mode == T.MODE_IBC else 0
         # CU-boundary edge maps for deblocking
         fs.edge_hor[y_scu, xs] = 1
         fs.edge_ver[ys, x_scu] = 1

@@ -508,9 +508,10 @@ def _htdf_tile(rec, x, y, lw, lh, avail, tbl_idx, S, bd):
     return out[1:S + 1, 1:S + 1]
 
 
-def _scatter_tiles(plane, tiles, x, y, lw, lh, ok, S):
-    """Write B S x S tiles into the bordered plane in one scatter; lanes
-    with ok == 0 or beyond the CU extent drop via out-of-bounds indices."""
+def _tile_idx_vals(plane, tiles, x, y, lw, lh, ok, S):
+    """Flat scatter (indices, values) for B S x S tiles; lanes with
+    ok == 0 or beyond the CU extent get an out-of-bounds index (dropped
+    by the scatter)."""
     B = tiles.shape[0]
     ii = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 2)
     jj = jax.lax.broadcasted_iota(jnp.int32, (B, S, S), 1)
@@ -519,9 +520,18 @@ def _scatter_tiles(plane, tiles, x, y, lw, lh, ok, S):
     rows = BORDER + y[:, None, None] + jj
     cols = BORDER + x[:, None, None] + ii
     Wp = plane.shape[1]
-    idx = jnp.where(okm, rows * Wp + cols, jnp.int32(-2 ** 30))
-    flat = plane.reshape(-1).at[idx.reshape(-1)].set(
-        tiles.astype(plane.dtype).reshape(-1), mode="drop")
+    n = plane.shape[0] * Wp
+    idx = jnp.where(okm, rows * Wp + cols, jnp.int32(n))  # n -> dropped
+    return idx.reshape(-1), tiles.astype(plane.dtype).reshape(-1)
+
+
+def _scatter_many(plane, pairs):
+    """One scatter applying all (idx, vals) pairs to the plane."""
+    if not pairs:
+        return plane
+    idx = jnp.concatenate([p[0] for p in pairs])
+    vals = jnp.concatenate([p[1] for p in pairs])
+    flat = plane.reshape(-1).at[idx].set(vals, mode="drop")
     return flat.reshape(plane.shape)
 
 
@@ -612,23 +622,29 @@ def intra_scan_wave(planes, resids, groups, bit_depth, chroma):
                 tu = cpred(res_u, ru)
                 tv = cpred(res_v, rv)
             staged.append((S, c, ty, tu, tv))
-        # phase 2: scatter all prediction tiles
+        # phase 2: one scatter per plane across all classes
+        py_, pu_, pv_ = [], [], []
         for S, c, ty, tu, tv in staged:
             do_l = jnp.where((c["tree"] != 2) & (c["valid"] == 1)
                              & (c["do_intra"] == 1), 1, 0)
-            ry = _scatter_tiles(ry, ty, c["x"], c["y"], c["log2w"],
-                                c["log2h"], do_l, S)
+            py_.append(_tile_idx_vals(ry, ty, c["x"], c["y"], c["log2w"],
+                                      c["log2h"], do_l, S))
             if chroma:
                 do_c = jnp.where((c["tree"] != 1) & (c["valid"] == 1)
                                  & (c["do_intra"] == 1), 1, 0)
-                ru = _scatter_tiles(ru, tu, c["x"] >> 1, c["y"] >> 1,
-                                    c["log2w"] - 1, c["log2h"] - 1, do_c,
-                                    S >> 1)
-                rv = _scatter_tiles(rv, tv, c["x"] >> 1, c["y"] >> 1,
-                                    c["log2w"] - 1, c["log2h"] - 1, do_c,
-                                    S >> 1)
-        # phase 3: HTDF from the post-scatter plane, then scatter
+                pu_.append(_tile_idx_vals(ru, tu, c["x"] >> 1,
+                                          c["y"] >> 1, c["log2w"] - 1,
+                                          c["log2h"] - 1, do_c, S >> 1))
+                pv_.append(_tile_idx_vals(rv, tv, c["x"] >> 1,
+                                          c["y"] >> 1, c["log2w"] - 1,
+                                          c["log2h"] - 1, do_c, S >> 1))
+        ry = _scatter_many(ry, py_)
+        if chroma:
+            ru = _scatter_many(ru, pu_)
+            rv = _scatter_many(rv, pv_)
+        # phase 3: HTDF from the post-scatter plane, then one scatter
         if has_htdf:
+            ph_ = []
             for S in sizes:
                 c = cols(cs[S])
                 th = jax.vmap(
@@ -638,8 +654,9 @@ def intra_scan_wave(planes, resids, groups, bit_depth, chroma):
                   c["htdf_avail"], c["htdf_idx"])
                 do_h = jnp.where((c["valid"] == 1) & (c["htdf_idx"] >= 0),
                                  1, 0)
-                ry = _scatter_tiles(ry, th, c["x"], c["y"], c["log2w"],
-                                    c["log2h"], do_h, S)
+                ph_.append(_tile_idx_vals(ry, th, c["x"], c["y"],
+                                          c["log2w"], c["log2h"], do_h, S))
+            ry = _scatter_many(ry, ph_)
         return (ry, ru, rv), 0
 
     (rec_y, rec_u, rec_v), _ = jax.lax.scan(step, (rec_y, rec_u, rec_v),

@@ -447,6 +447,10 @@ class JaxPixelBackend:
             raise UnsupportedStream(
                 "JAX backend: affine MC not on the device path yet; "
                 "use the numpy backend")
+        if getattr(sps, "is_main", False) and sps.ibc_flag:
+            raise UnsupportedStream(
+                "JAX backend: IBC not on the device path yet; "
+                "use the numpy backend")
 
     # ------------------------------------------------------------------
     def pack_frame(self, job, sps, refp):
@@ -863,8 +867,11 @@ class JaxPixelBackend:
         # wavefront schedule: dependency levels -> per-size-class batches
         from .wavefront import group_wavefront, level_scan_cus
         levels = level_scan_cus(fs, job, idx, chroma=chroma)
+        # L is pow2-bucketed PER FRAME (not monotone like _rows): an
+        # all-intra frame needs ~1000 steps, inter frames a few dozen —
+        # monotone growth would pad every inter frame to the intra L
         return group_wavefront(rows, levels, rows[:, 2], rows[:, 3],
-                               self._rows)
+                               lambda name, v: _pow2(v))
 
 
 def _chroma_ver_waves(fs, job):

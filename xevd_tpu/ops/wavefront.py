@@ -103,38 +103,46 @@ def level_scan_cus(fs, job, idx, chroma):
 
 
 def group_wavefront(rows, levels, log2w, log2h, bucket_rows):
-    """Group scan rows into [L, B] slot grids per size class.
+    """Group scan rows into fixed-width step slots per size class.
 
-    rows: [N, ncol] int32 per-CU rows (decode order); levels: [N];
-    log2w/log2h: [N].  Size classes by max(log2w, log2h):
-    <=3 -> tile 8, 4 -> 16, 5 -> 32, 6 -> 64.  Returns dict
-    {tile_size: int32 [L, B_c, ncol]} with invalid padding rows
-    (valid column already 0 in padding).  L and the B_c are bucketed by
-    `bucket_rows` to bound recompiles."""
+    Levels are split into as many consecutive steps as the widest class
+    needs (CUs of one level are independent, so spreading them over
+    several steps keeps correctness), giving constant per-class slot
+    counts — padding stays bounded and the jit key only varies in the
+    step count (pow2-bucketed).  Returns {tile_S: int32 [L, B_c, ncol]}.
+    """
     n, ncol = rows.shape
     smax = np.maximum(log2w, log2h)
     cls = np.clip(smax, 3, 6)          # 3..6 -> tiles 8..64
     n_lev = int(levels.max()) + 1 if n else 0
-    # one global level axis: every class advances level-by-level in the
-    # same scan, so cross-class dependencies stay ordered
-    L = bucket_rows("wfL", n_lev)
+    SLOTS = {3: 32, 4: 8, 5: 4, 6: 2}
+    present = [c for c in (3, 4, 5, 6) if (cls == c).any()]
+
+    # per-level per-class counts -> steps per level
+    counts = {c: np.bincount(levels[cls == c], minlength=n_lev)
+              for c in present}
+    steps_per_level = np.ones(n_lev, np.int64)
+    for c in present:
+        need = -(-counts[c] // SLOTS[c])     # ceil
+        steps_per_level = np.maximum(steps_per_level, need)
+    step_base = np.concatenate([[0], np.cumsum(steps_per_level)])
+    total_steps = int(step_base[-1])
+    L = bucket_rows("wfL", max(total_steps, 1))
 
     out = {}
-    for c in (3, 4, 5, 6):
-        sel = cls == c
-        if not sel.any():
-            continue
-        lv = levels[sel]
-        rs = rows[sel]
-        counts = np.bincount(lv, minlength=n_lev)
-        b = bucket_rows(f"wfB{c}", int(counts.max()))
+    for c in present:
+        b = SLOTS[c]
         arr = np.zeros((L, b, ncol), np.int32)
         if ncol > 13:
             arr[:, :, 14] = -1          # padding rows: no htdf
-        fill = np.zeros(n_lev, np.int32)
-        for j in range(len(rs)):
-            lvj = lv[j]
-            arr[lvj, fill[lvj]] = rs[j]
-            fill[lvj] += 1
+        sel = np.nonzero(cls == c)[0]
+        fill = np.zeros(total_steps, np.int64)
+        for j in sel:
+            lv = levels[j]
+            k = step_base[lv]
+            while fill[k] == b:
+                k += 1
+            arr[k, fill[k]] = rows[j]
+            fill[k] += 1
         out[1 << c] = arr
     return out

@@ -34,6 +34,7 @@ MODE_INTRA = 0
 MODE_INTER = 1
 MODE_SKIP = 2
 MODE_DIR = 3
+MODE_IBC = 6      # (ref: src_main/xevdm_def.h:281)
 PRED_L0 = 0
 PRED_L1 = 1
 PRED_BI = 2
@@ -520,7 +521,7 @@ def check_ats_inter_avail(cuw: int, cuh: int, pred_mode: int,
                           tool_ats: int) -> int:
     """(ref: src_main/xevdm_util.c:3565-3583)"""
     if not tool_ats or pred_mode == MODE_INTRA or cuw > MAX_TR_SIZE \
-            or cuh > MAX_TR_SIZE:
+            or cuh > MAX_TR_SIZE or pred_mode == MODE_IBC:
         return 0
     mode_vert = 1 if cuw >= 8 else 0
     mode_vert_quad = 1 if cuw >= 16 else 0
