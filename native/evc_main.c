@@ -14,6 +14,9 @@
 #include <string.h>
 #include <stdlib.h>
 
+#ifdef EVC_MAIN_TRACE
+#include <stdio.h>
+#endif
 #include "evc_main_tables.h"
 
 #define PROB_INIT 512
@@ -171,7 +174,15 @@ static void sbac_reset(Sbac *s, Bsr *bs, int slice_type, int slice_qp,
     }
 }
 
+#ifdef EVC_MAIN_TRACE
+int evc_trace_bins = 0;
+#endif
 static uint32_t sbac_bin(Sbac *s, int i) {
+#ifdef EVC_MAIN_TRACE
+    if (evc_trace_bins)
+        fprintf(stderr, "[bin] ctx=%d r=%u v=%u m=%u\n", i, s->range,
+                s->value, s->ctx[i]);
+#endif
     uint16_t m = s->ctx[i];
     uint32_t state = m >> 1;
     uint32_t mps = m & 1;
@@ -1309,9 +1320,10 @@ static void ats_inter_tu_offset(int info, int log2_cuw, int log2_cuh,
 
 static int check_ats_inter_avail(int cuw, int cuh, int pred_mode,
                                  int tool_ats) {
-    /* (ref: src_main/xevdm_util.c:3565-3583) */
-    if (!tool_ats || pred_mode == MODE_INTRA || cuw > (1 << MAX_TR_LOG2)
-        || cuh > (1 << MAX_TR_LOG2))
+    /* (ref: src_main/xevdm_util.c:3565-3583; IBC CUs carry no
+       ats_inter either) */
+    if (!tool_ats || pred_mode == MODE_INTRA || pred_mode == MODE_IBC
+        || cuw > (1 << MAX_TR_LOG2) || cuh > (1 << MAX_TR_LOG2))
         return 0;
     int mode_vert = cuw >= 8;
     int mode_vert_quad = cuw >= 16;
@@ -1393,6 +1405,14 @@ static int decode_coef(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
         ? check_ats_inter_avail(1 << log2_cuw, 1 << log2_cuh, pred_mode,
                                 d->ats)
         : 0;
+#ifdef EVC_MAIN_TRACE
+    {
+        extern int evc_trace_bins;
+        if (evc_trace_bins)
+            fprintf(stderr, "[coef] pm=%d ats_avail=%d\n", pred_mode,
+                    ats_avail);
+    }
+#endif
     ats->ats_cu = ats->ats_mode = ats->ats_inter = 0;
     cbf_any[0] = cbf_any[1] = cbf_any[2] = 0;
     int cbf_all = 1;
@@ -1473,6 +1493,10 @@ static int decode_coef(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
 static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
                       int tree_type, int mode_cons) {
     /* (ref: src_main/xevdm_eco.c:1467-1819) */
+#ifdef EVC_MAIN_TRACE
+    extern int evc_trace_bins;
+    if (x == 160 && y == 4) evc_trace_bins = 1;
+#endif
     Sbac *s = &d->sbac;
     int cuw = 1 << log2_cuw, cuh = 1 << log2_cuh;
     int x_scu = x >> 2, y_scu = y >> 2;
@@ -1661,6 +1685,12 @@ static void decode_cu(MDec *d, int x, int y, int log2_cuw, int log2_cuh,
     m_chroma_qps(d, qp, &qp_u, &qp_v);
 
     int32_t *rec = d->cu_out + (int64_t)d->n_cus * MAIN_CU_FIELDS;
+#ifdef EVC_MAIN_TRACE
+    evc_trace_bins = 0;
+    fprintf(stderr, "[cu] %d (%d,%d %dx%d) pm=%d ipm=%d tree=%d r=%u v=%u\n",
+            d->n_cus, x, y, 1 << log2_cuw, 1 << log2_cuh, pred_mode, ipm,
+            tree_type, d->sbac.range, d->sbac.value);
+#endif
     rec[M_X] = x; rec[M_Y] = y;
     rec[M_LOG2W] = log2_cuw; rec[M_LOG2H] = log2_cuh;
     rec[M_PRED_MODE] = pred_mode;

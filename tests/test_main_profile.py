@@ -101,6 +101,19 @@ CASES_AFFINE = [
     ("m_aff_all", 176, 144, 5, 31, 954, "RA",
      ("admvp", "hmvp", "affine", "amvr", "mmvd", "btt", "suco", "adcc",
       "iqt", "ats", "addb", "htdf", "alf", "eipd", "cm_init")),
+    # DMVR: B-slice bilateral refinement (refined MVs feed HMVP / MMVD
+    # base list / stored map; unrefined feed spatial merge + deblock)
+    ("m_dmvr_ra", 176, 144, 5, 30, 971, "RA",
+     ("dmvr", "admvp", "hmvp", "mmvd", "amvr", "btt", "suco", "adcc",
+      "eipd", "cm_init")),
+    ("m_dmvr_all", 176, 144, 5, 30, 972, "RA",
+     ("dmvr", "admvp", "hmvp", "affine", "ibc", "amvr", "mmvd", "btt",
+      "suco", "adcc", "iqt", "ats", "addb", "htdf", "alf", "eipd",
+      "cm_init")),
+    # IBC deblock interaction (BS_INTRA for IBC cells) + ATS gating
+    ("m_ibc_addb", 176, 144, 5, 30, 973, "RA",
+     ("ibc", "admvp", "hmvp", "amvr", "mmvd", "btt", "suco", "adcc",
+      "iqt", "ats", "addb", "eipd", "cm_init")),
 ]
 
 

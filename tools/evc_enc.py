@@ -1792,6 +1792,26 @@ def encode_stream(w, h, n_frames=1, qp=30, seed=0, gop="I",
         pic = Picture(w=w, h=h)
         pic.map_mv = fe.map_mv.copy()
         pic.map_refi = fe.map_refi.copy()
+        if tools.dmvr:
+            # DMVR refines MVs from reconstructed pixels, which this
+            # syntax-level encoder does not track; an embedded decoder
+            # supplies the refined motion field the next frames' TMVP
+            # must see (ref: xevdm_util.c map_mv<-dmvr_mv, :4325-4333)
+            from xevd_tpu import info as _nal_info
+            from xevd_tpu.decoder import Decoder as _Dec
+            if not hasattr(pm, "_emb_dec"):
+                pm._emb_dec = _Dec()
+                pm._emb_pos = 0
+            while pm._emb_pos + 4 <= len(out):
+                ln, _, _ = _nal_info(out[pm._emb_pos:pm._emb_pos + 6])
+                pm._emb_dec.decode(
+                    out[pm._emb_pos + 4:pm._emb_pos + 4 + ln])
+                pm._emb_pos += 4 + ln
+                while True:
+                    f_out, _st = pm._emb_dec.pull()
+                    if f_out is None:
+                        break
+            pic.map_mv = pm._emb_dec.last_pic.map_mv.copy()
         pm.put_pic(pic, is_idr, poc.poc_val, tid, True, refp,
                    slice_ref_flag, 1 << 0)
         # release bumped outputs so DPB slots recycle

@@ -29,10 +29,6 @@ def check_decoder_caps(sps):
     wrong decode is worse than an error (SPS tool flags: syntax.py:176-207,
     ref: src_base/xevd_def.h:841-894)."""
     unsup = []
-    if getattr(sps, "is_main", False):
-        for flag, name in (("tool_dmvr", "dmvr"),):
-            if getattr(sps, flag, 0):
-                unsup.append(name)
     if unsup:
         raise UnsupportedStream(
             f"stream enables unimplemented tool(s): {', '.join(unsup)}")
@@ -232,6 +228,34 @@ class NumpyPixelBackend:
                 continue
             refi = job.cu_refi[i]
             mv = job.cu_mv[i]
+            if getattr(job, "dmvr_mvs", None) is not None \
+                    and i in job.dmvr_mvs:
+                from .ops.dmvr import process_dmvr
+                if True:
+                    p0, p1, ref_q, dxs, dys = process_dmvr(
+                        int(x), int(y), fs.w, fs.h, int(cuw), int(cuh),
+                        [int(refi[0]), int(refi[1])],
+                        [[int(mv[0][0]), int(mv[0][1])],
+                         [int(mv[1][0]), int(mv[1][1])]],
+                        refp, bd, bd_c, cfi,
+                        refined=job.dmvr_mvs[i])
+                    py = RN.bi_average(p0[0], p1[0])
+                    if cfi:
+                        pu = RN.bi_average(p0[1], p1[1])
+                        pv = RN.bi_average(p0[2], p1[2])
+                    r = resid.get(i, (None, None, None))
+                    cbf = fs.cu_cbf[i]
+                    rec_y[y:y + cuh, x:x + cuw] = RN.recon(
+                        py, r[0], bool(cbf[0]), bd)
+                    if cfi:
+                        xc, yc = x >> cw_s, y >> ch_s
+                        rec_u[yc:yc + (cuh >> ch_s),
+                              xc:xc + (cuw >> cw_s)] = RN.recon(
+                            pu, r[1], bool(cbf[1]), bd)
+                        rec_v[yc:yc + (cuh >> ch_s),
+                              xc:xc + (cuw >> cw_s)] = RN.recon(
+                            pv, r[2], bool(cbf[2]), bd)
+                    continue
             preds = []
             used_pocs = []
             for lidx in range(2):
@@ -714,10 +738,19 @@ class Decoder:
                 fs = decode_slice_native_main(
                     payload, sps, pps, sh, num_refp, self.chroma_qp_tbl,
                     self.log2_ctu)
-            from .native import derive_frame_native_main
-            job = derive_frame_native_main(
-                fs, sps, pps, sh, refp, self.poc.poc_val,
-                self.chroma_qp_tbl, num_refp, self.log2_ctu)
+            if getattr(sps, "tool_dmvr", 0) and sh.slice_type == T.SLICE_B:
+                # DMVR refinement runs inside the derive loop (refined MVs
+                # feed HMVP / the stored map); the C derive has no DMVR,
+                # so B slices of DMVR streams use the Python derive.
+                job = derive_frame(fs, sps, pps, sh, refp,
+                                   self.poc.poc_val, self.chroma_qp_tbl,
+                                   num_refp=num_refp,
+                                   log2_ctu=self.log2_ctu)
+            else:
+                from .native import derive_frame_native_main
+                job = derive_frame_native_main(
+                    fs, sps, pps, sh, refp, self.poc.poc_val,
+                    self.chroma_qp_tbl, num_refp, self.log2_ctu)
         else:
             self._drain_pipeline()
             ent = EntropyDecoder(sps, pps, self.chroma_qp_tbl,

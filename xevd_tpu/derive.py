@@ -64,6 +64,13 @@ class FrameJob:
     alf_param: object = None        # aps.AlfSliceParam (effective)
     alf_enable: tuple = None        # (luma, u, v)
     alf_misc: tuple = None          # (log2_ctu, across_tiles)
+    poc: int = 0                    # current POC (DMVR symmetry check)
+    tool_dmvr: bool = False
+    # DMVR (tool_dmvr): per-CU refined sub-PU MVs, computed during derive
+    # (the refined top-left value feeds HMVP in-frame, ref:
+    # xevdm_util.c:4385-4389 core->mv reload + xevdm.c history update)
+    dmvr_mvs: dict = None           # cu index -> int32 [n_sy, n_sx, 2, 2]
+    map_ibc: object = None          # uint8 [h_scu, w_scu] IBC-coded cells
 
 
 def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
@@ -73,12 +80,21 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                          get_motion_merge_main)
     job = FrameJob(fs=fs, bit_depth=sps.bit_depth_luma_minus8 + 8,
                    chroma_format_idc=sps.chroma_format_idc)
+    job.poc = int(poc_val)
+    job.tool_dmvr = bool(getattr(sps, "is_main", False)
+                         and getattr(sps, "tool_dmvr", 0))
     h_scu, w_scu = fs.h_scu, fs.w_scu
     n = fs.num_cus()
 
     mm = MotionMaps(w_scu, h_scu)
     mm.map_if = fs.map_if
     map_mv = mm.map_mv
+    if job.tool_dmvr:
+        # separate refined-MV view (DMVR CUs carry refined sub-PU MVs;
+        # the MMVD base list and the stored/TMVP map read it)
+        mm.map_mv_ref = mm.map_mv.copy()
+    map_mv_ref = mm.map_mv_ref
+    track_ref = map_mv_ref is not map_mv
     map_refi = mm.map_refi
     cod = mm.cod
     is_main_sps = getattr(sps, "is_main", False)
@@ -131,6 +147,7 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
         scuw = cuw >> 2
         scuh = cuh >> 2
         pm = fs.cu_pred_mode[i]
+        dmvr_ref_q = None
 
         if pm == T.MODE_INTRA:
             # neighbor availability per 4-sample unit
@@ -325,6 +342,22 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                         refi[lidx] = T.REFI_INVALID
                         mv[lidx] = 0
 
+            if job.tool_dmvr and not aff and pm in (T.MODE_SKIP, T.MODE_DIR) \
+                    and not fs.cu_mmvd_flag[i]:
+                from .ops.dmvr import dmvr_condition, dmvr_refine_cu
+                if dmvr_condition(sps, poc_val, refp,
+                                  [int(refi[0]), int(refi[1])], mv,
+                                  int(cuw), int(cuh)):
+                    dmvr_ref_q = dmvr_refine_cu(
+                        int(fs.cu_x[i]), int(fs.cu_y[i]), fs.w, fs.h,
+                        int(cuw), int(cuh),
+                        [int(refi[0]), int(refi[1])],
+                        [[int(mv[0][0]), int(mv[0][1])],
+                         [int(mv[1][0]), int(mv[1][1])]],
+                        refp, sps.bit_depth_luma_minus8 + 8)
+                    if job.dmvr_mvs is None:
+                        job.dmvr_mvs = {}
+                    job.dmvr_mvs[i] = dmvr_ref_q
             if aff:
                 lw_, lh_ = int(fs.cu_log2w[i]), int(fs.cu_log2h[i])
                 AF.set_affine_mvf(mm, x_scu, y_scu, lw_, lh_, refi,
@@ -340,8 +373,14 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                 cu_refi[i] = refi
             else:
                 if hmvp and pm != T.MODE_IBC:
-                    # (ref: src_main/xevdm.c:1333-1341, non-affine/IBC)
-                    mm.history_update(refi, mv)
+                    # DMVR CUs push the REFINED top-left sub-PU MV: the
+                    # reference reloads core->mv from the refined map
+                    # before the history update (ref: xevdm_util.c
+                    # :4385-4389)
+                    if dmvr_ref_q is not None:
+                        mm.history_update(refi, dmvr_ref_q[0, 0] >> 2)
+                    else:
+                        mm.history_update(refi, mv)
 
                 cu_mv[i] = mv
                 cu_refi[i] = refi
@@ -382,6 +421,18 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
                 cu_htdf_avail[i] = av
 
         cod[y_scu:y_scu + scuh, x_scu:x_scu + scuw] = 1
+        if track_ref:
+            ys_, xs_ = slice(y_scu, y_scu + scuh), slice(x_scu, x_scu + scuw)
+            if dmvr_ref_q is None:
+                map_mv_ref[ys_, xs_] = map_mv[ys_, xs_]
+            else:
+                dys = min(int(cuh), 16) >> 2
+                dxs = min(int(cuw), 16) >> 2
+                for sj in range(dmvr_ref_q.shape[0]):
+                    for si in range(dmvr_ref_q.shape[1]):
+                        map_mv_ref[y_scu + sj * dys:y_scu + (sj + 1) * dys,
+                                   x_scu + si * dxs:x_scu + (si + 1) * dxs] \
+                            = (dmvr_ref_q[sj, si] >> 2).astype(np.int16)
 
     job.cu_htdf_idx = cu_htdf_idx
     job.cu_htdf_avail = cu_htdf_avail
@@ -390,6 +441,7 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
     job.cu_mv = cu_mv
     job.cu_refi = cu_refi
     job.map_mv = map_mv
+    job.map_ibc = mm.map_ibc
     job.map_refi = map_refi
     job.cu_nbr_up = nbr_up
     job.cu_nbr_left = nbr_left
@@ -407,6 +459,11 @@ def derive_frame(fs: FrameSyntax, sps, pps, sh, refp, poc_val,
         z = np.zeros((h_scu, w_scu), dtype=np.int32)
         job.db_hor_y = job.db_hor_u = job.db_hor_v = z
         job.db_ver_y = job.db_ver_u = job.db_ver_v = z
+    if track_ref:
+        # stored motion field = refined view (TMVP of later frames);
+        # spatial merge/deblock above consumed the unrefined values
+        # (ref: map_unrefined_mv / MCU_DMVRF)
+        map_mv[:] = map_mv_ref
     return job
 
 
@@ -522,6 +579,10 @@ def _deblock_strengths(job: FrameJob, fs: FrameSyntax, sps, sh, chroma_qp_tbl):
         big_cross = (np.abs(m0 - m1x).reshape(m0.shape[0], -1) >= 4).any(-1)
         idx = np.where(same_order, np.where(big_same, 2, 3),
                        np.where(cross_order, np.where(big_cross, 2, 3), 2))
+        if job.map_ibc is not None:
+            ibc_any = job.map_ibc.astype(bool)[cur] \
+                | job.map_ibc.astype(bool)[nb]
+            idx = np.where(ibc_any, 2, idx)     # (ref: xevdm_df.c:52-55)
         idx = np.where(cbf_any, 1, idx)
         idx = np.where(if_any, 0, idx)
         return idx
@@ -663,11 +724,18 @@ def _addb_params(job: FrameJob, fs: FrameSyntax, sps, sh, chroma_qp_tbl,
                                   np.where(direct2, OTH, DIF),
                                   np.where(cross2, OTH, DIF)))
         bs_inter = np.where(same_direct | same_cross, bs_mv, DIF)
+        if job.map_ibc is not None:
+            ibc_any = job.map_ibc.astype(bool)[cur] \
+                | job.map_ibc.astype(bool)[nb]
+        else:
+            ibc_any = False
+        # IBC blocks take BS_INTRA (ref: src_main/xevdm_df.c:411-414)
         bs = np.where(
             if_any & cross_lcu, T.ADDB_BS_INTRA_STRONG,
             np.where(if_any, T.ADDB_BS_INTRA,
-                     np.where(cbf_any | ats_any, T.ADDB_BS_CODED,
-                              bs_inter)))
+                     np.where(ibc_any, T.ADDB_BS_INTRA,
+                              np.where(cbf_any | ats_any, T.ADDB_BS_CODED,
+                                       bs_inter))))
         return bs.astype(np.int32)
 
     qp_off = 6 * (bd_c - 8)

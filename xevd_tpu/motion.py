@@ -60,6 +60,11 @@ class MotionMaps:
         self.w_scu = w_scu
         self.h_scu = h_scu
         self.map_mv = np.zeros((h_scu, w_scu, 2, 2), dtype=np.int16)
+        # refined-MV view: aliases map_mv unless DMVR is active (then a
+        # separate array carrying refined sub-PU MVs for DMVR CUs; the
+        # MMVD base list reads it -- xevdm_get_mmvd_mvp_list takes
+        # ctx->map_mv with NO unrefined fallback, ref: xevdm_util.c:4697)
+        self.map_mv_ref = self.map_mv
         self.map_refi = np.full((h_scu, w_scu, 2), REFI_INVALID,
                                 dtype=np.int8)
         self.cod = np.zeros((h_scu, w_scu), dtype=np.uint8)
@@ -290,9 +295,14 @@ def _right_below_scup_merge(x_scu, y_scu, scuw, scuh, w_scu, h_scu,
 
 
 def get_motion_merge_main(poc, slice_type, mm: MotionMaps, refp, x_scu,
-                          y_scu, cuw, cuh, avail_lr, sh, log2_ctu):
+                          y_scu, cuw, cuh, avail_lr, sh, log2_ctu,
+                          use_refined=False):
     """Merge candidate list (ref: src_main/xevdm_util.c:1169-1405).
-    Returns (refi[2][N], mvp[2][N][2]) with N = MAXM_NUM_MVP."""
+    Returns (refi[2][N], mvp[2][N][2]) with N = MAXM_NUM_MVP.
+    use_refined: read the refined-MV view for spatial neighbors -- the
+    MMVD base list does (xevdm_get_mmvd_mvp_list gets ctx->map_mv with
+    no DMVRF fallback); plain merge uses unrefined for DMVR CUs
+    (ref: xevdm_util.c:1212)."""
     scuw, scuh = cuw >> 2, cuh >> 2
     small_cu = cuw * cuh <= NUM_SAMPLES_BLOCK
     max_cand = MAX_NUM_MVP_SMALL_CU if small_cu else MAXM_NUM_MVP
@@ -300,12 +310,13 @@ def get_motion_merge_main(poc, slice_type, mm: MotionMaps, refp, x_scu,
     mvp_l = [[[0, 0] for _ in range(MAXM_NUM_MVP)] for _ in range(2)]
     cnt = 0
 
+    mv_map = mm.map_mv_ref if use_refined else mm.map_mv
     neb, valid = check_motion_availability(mm, x_scu, y_scu, scuw, scuh,
                                            avail_lr)
     for k in range(5):
         if valid[k]:
             p = neb[k]
-            _merge_insert(refi_l, mvp_l, cnt, mm.map_refi[p], mm.map_mv[p],
+            _merge_insert(refi_l, mvp_l, cnt, mm.map_refi[p], mv_map[p],
                           slice_type, cuw, cuh)
             cnt = _check_redundancy(slice_type, mvp_l, refi_l, cnt)
             cnt += 1
@@ -514,7 +525,7 @@ def get_mmvd_motion(mmvd_idx, poc, slice_type, mm: MotionMaps, refp,
 
     refi_l, mvp_l = get_motion_merge_main(poc, slice_type, mm, refp, x_scu,
                                           y_scu, cuw, cuh, avail_lr, sh,
-                                          log2_ctu)
+                                          log2_ctu, use_refined=True)
     REF_SET = [[refp[i][l].poc if (i < len(refp) and refp[i][l] is not None)
                 else 0 for i in range(5)] for l in range(2)]
 

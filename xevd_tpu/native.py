@@ -521,6 +521,9 @@ def derive_frame_native_main(fs, sps, pps, sh, refp, poc, chroma_qp_tbl,
 
     job = FrameJob(fs=fs, bit_depth=sps.bit_depth_luma_minus8 + 8,
                    chroma_format_idc=sps.chroma_format_idc)
+    job.poc = int(poc)
+    job.tool_dmvr = bool(getattr(sps, "is_main", False)
+                         and getattr(sps, "tool_dmvr", 0))
     job.cu_mv = cu_mv
     job.cu_refi = cu_refi
     job.map_mv = map_mv
@@ -535,6 +538,16 @@ def derive_frame_native_main(fs, sps, pps, sh, refp, poc, chroma_qp_tbl,
     job.cu_htdf_avail = htdf_avail
     job.cu_aff_flag = cu_aff_flag
     job.cu_aff_mv = cu_aff_mv
+
+    if getattr(sps, "ibc_flag", 0):
+        # IBC SCU map for deblock BS (ref: xevdm_df.c:411-414)
+        map_ibc = np.zeros((h_scu, w_scu), np.uint8)
+        ibc_rows = np.nonzero(cu[:, 4] == 6)[0]      # MODE_IBC
+        for r in ibc_rows:
+            ys, xs = int(cu[r, 1]) >> 2, int(cu[r, 0]) >> 2
+            map_ibc[ys:ys + (1 << (int(cu[r, 3]) - 2)),
+                    xs:xs + (1 << (int(cu[r, 2]) - 2))] = 1
+        job.map_ibc = map_ibc
 
     if sh.deblocking_filter_on:
         if is_main and sps.tool_addb:

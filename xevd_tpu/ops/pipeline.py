@@ -451,6 +451,10 @@ class JaxPixelBackend:
             raise UnsupportedStream(
                 "JAX backend: IBC not on the device path yet; "
                 "use the numpy backend")
+        if getattr(sps, "is_main", False) and sps.tool_dmvr:
+            raise UnsupportedStream(
+                "JAX backend: DMVR not on the device path yet; "
+                "use the numpy backend")
 
     # ------------------------------------------------------------------
     def pack_frame(self, job, sps, refp):
