@@ -78,10 +78,13 @@ def measure_ref(ref_bin: Path, stream: Path, threads: int) -> float:
 
 
 def main():
+    # must be set before xevd_tpu.ops.pipeline is imported (it picks the
+    # cache dir at import time)
+    os.environ.setdefault("XEVD_TPU_JIT_CACHE", str(REPO / ".jaxcache"))
     import jax as _jax
     _jax.config.update("jax_compilation_cache_dir",
                        str(REPO / ".jaxcache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if not STREAM.exists():
         import evc_enc
         STREAM.parent.mkdir(parents=True, exist_ok=True)
@@ -143,8 +146,9 @@ def main():
                 host_t += time.time() - t0
             pos += ln
             if stat.fnum >= 0:
-                dec.pull()
-                n += 1
+                f, _ = dec.pull()
+                if f is not None:
+                    n += 1
         while True:
             f, st = dec.pull()
             if f is None:
@@ -158,6 +162,8 @@ def main():
     n, host_t = decode_once(measure_host=True)
     el = time.time() - t0
     fps = n / el
+    entropy_ms = 1000 * phase["entropy"] / n
+    pack_ms = 1000 * phase["pack"] / n
 
     # ---- config 3: Main 1080p RA ----
     data3 = STREAM3.read_bytes()
@@ -173,7 +179,8 @@ def main():
             pos += ln
             if stat.fnum >= 0:
                 f, _ = dec.pull()
-                m += 1
+                if f is not None:
+                    m += 1
         while True:
             f, st = dec.pull()
             if f is None:
@@ -184,9 +191,11 @@ def main():
         return m
 
     decode_main_once()                # warm-up
-    t0 = time.time()
-    m = decode_main_once()
-    el3 = time.time() - t0
+    el3 = 1e30
+    for _ in range(2):                # best-of-2 warm runs
+        t0 = time.time()
+        m = decode_main_once()
+        el3 = min(el3, time.time() - t0)
     fps3 = m / el3
 
     print(json.dumps({
@@ -200,8 +209,8 @@ def main():
         "host_ms_per_frame": round(1000 * host_t / n, 2),
         # breakdown: C entropy+derive runs on a worker thread overlapped
         # with pack+dispatch (see decoder._drain_pipeline)
-        "entropy_ms_per_frame": round(1000 * phase["entropy"] / n, 2),
-        "pack_ms_per_frame": round(1000 * phase["pack"] / n, 2),
+        "entropy_ms_per_frame": round(entropy_ms, 2),
+        "pack_ms_per_frame": round(pack_ms, 2),
         # config 3: Main-profile 1080p RA (ALF/ADDB/HTDF + full toolset)
         "fps_main_1080p_ra": round(fps3, 3),
         "ref_fps_main_best": round(ref_fps3, 3),

@@ -23,7 +23,8 @@ _LIB = None
 CU_FIELDS = 29
 
 
-_SRCS = ("evc_entropy.c", "evc_main.c", "evc_derive_main.c")
+_SRCS = ("evc_entropy.c", "evc_main.c", "evc_derive_main.c",
+         "evc_wavefront.c")
 
 
 def _build():
@@ -559,3 +560,50 @@ def derive_frame_native_main(fs, sps, pps, sh, refp, poc, chroma_qp_tbl,
         job.db_hor_y = job.db_hor_u = job.db_hor_v = z
         job.db_ver_y = job.db_ver_u = job.db_ver_v = z
     return job
+
+
+def wavefront_levels(fs, job, idx, chroma):
+    """Native wavefront dependency leveling (evc_wavefront.c); same
+    contract as ops.wavefront.level_scan_cus."""
+    lib = get_lib()
+    if not hasattr(lib, "_wf_types_set"):
+        lib.evc_wavefront_levels.restype = None
+        lib._wf_types_set = True
+    n = len(idx)
+    h_scu, w_scu = fs.h_scu, fs.w_scu
+
+    def i32(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    def i64(a):
+        return np.ascontiguousarray(a, np.int64)
+
+    idx_a = i32(idx)
+    cu_x, cu_y = i32(fs.cu_x), i32(fs.cu_y)
+    lw, lh = i32(fs.cu_log2w), i32(fs.cu_log2h)
+    tree, pm = i32(fs.cu_tree), i32(fs.cu_pred_mode)
+    up, le = i64(job.cu_nbr_up), i64(job.cu_nbr_left)
+    ri, ue = i64(job.cu_nbr_right), i64(job.cu_nbr_upext)
+    corner = np.ascontiguousarray(job.cu_nbr_corner, np.uint8)
+    has_htdf = job.cu_htdf_idx is not None
+    htdf = i32(job.cu_htdf_idx if has_htdf else np.zeros(len(cu_x)))
+    lev = np.zeros(n, np.int32)
+    wl = np.empty(h_scu * w_scu, np.int64)
+    wc = np.empty(h_scu * w_scu, np.int64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.evc_wavefront_levels(
+        n, ptr(idx_a, ctypes.c_int32),
+        ptr(cu_x, ctypes.c_int32), ptr(cu_y, ctypes.c_int32),
+        ptr(lw, ctypes.c_int32), ptr(lh, ctypes.c_int32),
+        ptr(tree, ctypes.c_int32), ptr(pm, ctypes.c_int32),
+        ptr(up, ctypes.c_int64), ptr(le, ctypes.c_int64),
+        ptr(ri, ctypes.c_int64), ptr(ue, ctypes.c_int64),
+        ptr(corner, ctypes.c_uint8),
+        ptr(htdf, ctypes.c_int32), int(has_htdf),
+        w_scu, h_scu, int(chroma),
+        ptr(lev, ctypes.c_int32),
+        ptr(wl, ctypes.c_int64), ptr(wc, ctypes.c_int64))
+    return lev

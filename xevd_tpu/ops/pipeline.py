@@ -45,7 +45,10 @@ def _maybe_enable_jit_cache():
         "XEVD_TPU_JIT_CACHE",
         _os.path.expanduser(f"~/.cache/xevd_tpu_jit_tpu_{ver}"))
     jax.config.update("jax_compilation_cache_dir", d)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist even sub-second compiles: the wavefront intra scan builds
+    # hundreds of small bucketed step programs; at the default threshold
+    # none are cached and every process pays the full compile sweep
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 _maybe_enable_jit_cache()

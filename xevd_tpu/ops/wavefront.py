@@ -37,6 +37,12 @@ def _bits(mask):
 def level_scan_cus(fs, job, idx, chroma):
     """Dependency levels for the scan CUs `idx` (decode order).
     Returns int32 [len(idx)] levels (0-based)."""
+    try:
+        from .. import native
+        if native.available():
+            return native.wavefront_levels(fs, job, idx, chroma)
+    except Exception:
+        pass
     h_scu, w_scu = fs.h_scu, fs.w_scu
     wl = np.full((h_scu, w_scu), -1, np.int64)   # luma-writer scan index
     wc = np.full((h_scu, w_scu), -1, np.int64)   # chroma-writer scan index
